@@ -1,0 +1,210 @@
+"""World — the public scene-building API, mirroring `raisim::World`'s role (SURVEY.md C12).
+
+RaiSim's `World` owns heap objects and mutates them in place each `integrate()` call.
+The TPU-native design splits that into two phases:
+
+  * **Build phase (host, Python):** `World.add_*` calls accumulate object specs.
+    `World.compile()` merges every articulated system and single body into ONE forest
+    `RobotModel` (single bodies become FREE-joint roots — same dynamics path, as
+    SURVEY.md C4 prescribes) plus static geometry tables, and returns a frozen `Scene`.
+  * **Run phase (device):** `Scene.step(state, tau)` is a pure jitted function;
+    `vmap`/`shard_map` supply batching. No mutation, no pointers, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from raisimlib_tpu.models.model import JointType, RobotModel, build_model
+from raisimlib_tpu.models import primitives
+from raisimlib_tpu.ops import dynamics, integrator
+from raisimlib_tpu.ops.integrator import State
+
+
+# ---------------------------------------------------------------------------
+# Geometry spec (host-side; frozen into Scene tables at compile())
+# ---------------------------------------------------------------------------
+
+GEOM_SPHERE = 0
+GEOM_BOX = 1
+GEOM_CAPSULE = 2
+GEOM_PLANE = 3  # static ground plane (z = height)
+GEOM_HEIGHTMAP = 4
+GEOM_CYLINDER = 5
+
+
+@dataclasses.dataclass
+class _GeomSpec:
+  body: int           # merged-model body index; -1 = static world
+  gtype: int
+  params: np.ndarray  # (4,) type-specific: sphere r; box hx,hy,hz; capsule r,hl
+  offset_pos: np.ndarray
+  offset_rot: np.ndarray
+  material: int
+
+
+@dataclasses.dataclass
+class _ObjectHandle:
+  """Returned by add_* — records where the object landed in the merged model."""
+
+  name: str
+  body_start: int
+  q_slice: slice
+  v_slice: slice
+
+
+class World:
+  """Accumulates objects, then compiles to a frozen `Scene`."""
+
+  def __init__(self, dt: float = 0.001, gravity=(0.0, 0.0, -9.81), dtype=jnp.float32):
+    self.dt = float(dt)
+    self.gravity = np.asarray(gravity, dtype=np.float64)
+    self.dtype = dtype
+    self._bodies: List[dict] = []       # merged body specs (build_model format)
+    self._geoms: List[_GeomSpec] = []
+    self._handles: List[_ObjectHandle] = []
+    self._materials: List[tuple] = [(0.8, 0.0, 0.001)]  # (mu, restitution, threshold)
+    self._q_init_parts: List[np.ndarray] = []
+    self._nq = 0
+    self._nv = 0
+
+  # -- materials ---------------------------------------------------------
+  def add_material(self, mu: float, restitution: float = 0.0, threshold: float = 0.001) -> int:
+    self._materials.append((float(mu), float(restitution), float(threshold)))
+    return len(self._materials) - 1
+
+  def set_default_friction(self, mu: float):
+    m = self._materials[0]
+    self._materials[0] = (float(mu), m[1], m[2])
+
+  # -- objects -----------------------------------------------------------
+  def _merge_model_bodies(self, bodies: Sequence[dict], name: str) -> _ObjectHandle:
+    ofs = len(self._bodies)
+    nq0, nv0 = self._nq, self._nv
+    for b in bodies:
+      b = dict(b)
+      if b["parent"] >= 0:
+        b["parent"] = b["parent"] + ofs
+      self._bodies.append(b)
+      jt = JointType(b["joint"])
+      self._nq += 7 if jt == JointType.FREE else 1
+      self._nv += 6 if jt == JointType.FREE else 1
+    h = _ObjectHandle(name, ofs, slice(nq0, self._nq), slice(nv0, self._nv))
+    self._handles.append(h)
+    return h
+
+  def add_articulated_system(
+      self, bodies: Sequence[dict], name: str = "robot", geoms: Sequence[dict] = ()
+  ) -> _ObjectHandle:
+    """Add a robot from build_model-format body specs + optional collision geoms.
+
+    Each geom dict: body (local index), gtype, params, offset_pos, offset_rot, material.
+    """
+    h = self._merge_model_bodies(bodies, name)
+    for g in geoms:
+      self._geoms.append(
+          _GeomSpec(
+              body=g["body"] + h.body_start,
+              gtype=int(g["gtype"]),
+              params=np.resize(np.asarray(g.get("params", []), dtype=np.float64), 4),
+              offset_pos=np.asarray(g.get("offset_pos", np.zeros(3)), dtype=np.float64),
+              offset_rot=np.asarray(g.get("offset_rot", np.eye(3)), dtype=np.float64),
+              material=int(g.get("material", 0)),
+          )
+      )
+    return h
+
+  def add_sphere(self, radius: float, mass: float, name="sphere", material=0,
+                 pos=(0.0, 0.0, 1.0)) -> _ObjectHandle:
+    I = 0.4 * mass * radius * radius * np.eye(3)
+    spec = dict(parent=-1, joint=JointType.FREE, mass=mass, com=[0, 0, 0],
+                inertia=I, actuated=False, name=name,
+                q_init=list(pos) + [1.0, 0.0, 0.0, 0.0])
+    h = self._merge_model_bodies([spec], name)
+    self._geoms.append(_GeomSpec(h.body_start, GEOM_SPHERE,
+                                 np.array([radius, 0, 0, 0]), np.zeros(3), np.eye(3), material))
+    return h
+
+  def add_box(self, half_extents, mass: float, name="box", material=0,
+              pos=(0.0, 0.0, 1.0)) -> _ObjectHandle:
+    hx, hy, hz = half_extents
+    I = mass / 3.0 * np.diag([hy * hy + hz * hz, hx * hx + hz * hz, hx * hx + hy * hy])
+    spec = dict(parent=-1, joint=JointType.FREE, mass=mass, com=[0, 0, 0],
+                inertia=I, actuated=False, name=name,
+                q_init=list(pos) + [1.0, 0.0, 0.0, 0.0])
+    h = self._merge_model_bodies([spec], name)
+    self._geoms.append(_GeomSpec(h.body_start, GEOM_BOX,
+                                 np.array([hx, hy, hz, 0]), np.zeros(3), np.eye(3), material))
+    return h
+
+  def add_capsule(self, radius: float, half_length: float, mass: float, name="capsule",
+                  material=0, pos=(0.0, 0.0, 1.0)) -> _ObjectHandle:
+    # capsule along body z
+    m_cyl = mass  # lump: treat as cylinder + caps approximated
+    r2 = radius * radius
+    l = 2 * half_length
+    Ixx = m_cyl * (3 * r2 + l * l) / 12.0
+    I = np.diag([Ixx, Ixx, 0.5 * m_cyl * r2])
+    spec = dict(parent=-1, joint=JointType.FREE, mass=mass, com=[0, 0, 0],
+                inertia=I, actuated=False, name=name,
+                q_init=list(pos) + [1.0, 0.0, 0.0, 0.0])
+    h = self._merge_model_bodies([spec], name)
+    self._geoms.append(_GeomSpec(h.body_start, GEOM_CAPSULE,
+                                 np.array([radius, half_length, 0, 0]),
+                                 np.zeros(3), np.eye(3), material))
+    return h
+
+  def add_ground(self, height: float = 0.0, material: int = 0) -> None:
+    self._geoms.append(_GeomSpec(-1, GEOM_PLANE, np.array([height, 0, 0, 0]),
+                                 np.zeros(3), np.eye(3), material))
+
+  # -- compile -----------------------------------------------------------
+  def compile(self) -> "Scene":
+    from raisimlib_tpu.ops import collision as coll
+
+    model = build_model("scene", self._bodies, dtype=self.dtype)
+    geom_table = coll.build_geom_table(self._geoms, dtype=self.dtype)
+    pairs = coll.candidate_pairs(self._geoms, model)
+    materials = jnp.asarray(np.asarray(self._materials), dtype=self.dtype)
+    return Scene(
+        model=model,
+        geoms=geom_table,
+        pairs=pairs,
+        materials=materials,
+        gravity=jnp.asarray(self.gravity, dtype=self.dtype),
+        dt=self.dt,
+    )
+
+
+@struct.dataclass
+class Scene:
+  """Frozen, compiled world: one forest model + static geometry/contact tables."""
+
+  model: RobotModel
+  geoms: Any                      # GeomTable (ops.collision)
+  pairs: Any = struct.field(pytree_node=False)  # static candidate pair list
+  materials: jnp.ndarray          # (n_mat, 3) mu, restitution, threshold
+  gravity: jnp.ndarray
+  dt: float = struct.field(pytree_node=False)
+
+  def init_state(self, q=None, u=None) -> State:
+    return integrator.init_state(self.model, q, u)
+
+  def step(self, state: State, tau: Optional[jnp.ndarray] = None) -> State:
+    """One physics step: collision -> contact solve -> integrate (SURVEY.md §3.1)."""
+    from raisimlib_tpu.ops import pipeline
+
+    if tau is None:
+      tau = jnp.zeros((self.model.nv,), dtype=state.q.dtype)
+    return pipeline.step(self, state, tau)
+
+  def step_smooth(self, state: State, tau: Optional[jnp.ndarray] = None) -> State:
+    if tau is None:
+      tau = jnp.zeros((self.model.nv,), dtype=state.q.dtype)
+    return integrator.step_smooth(self.model, state, tau, self.gravity, self.dt)
