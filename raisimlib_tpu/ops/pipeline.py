@@ -1,0 +1,146 @@
+"""Full physics step: collision -> contact impulse solve -> integrate.
+
+This is the TPU-native `World::integrate()` (SURVEY.md §3.1 call stack):
+
+    kin      = fk(q, u)
+    contacts = collide(geoms, pairs, kin)          # padded, masked
+    v_free   = u + dt M^-1 (tau - h)               # semi-implicit free velocity
+    G, c     = Delassus + free contact velocity in per-contact frames
+    lam      = per-contact bisection/cone Gauss-Seidel solve
+    u'       = v_free + M^-1 J^T lam
+    q'       = q (+) u' dt
+
+One pure function over static shapes; `vmap` batches worlds; `lax.scan` rolls the
+horizon. Restitution and Baumgarte stabilization enter as a normal-velocity bias,
+as the reference does (material pair table, SURVEY.md C11).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from raisimlib_tpu.ops import collision as coll
+from raisimlib_tpu.ops import contact as ct
+from raisimlib_tpu.ops import dynamics
+from raisimlib_tpu.ops.integrator import State
+
+
+@struct.dataclass
+class StepConfig:
+  erp: float = 0.2               # Baumgarte position-error velocity gain (per step)
+  slop: float = 1e-4             # penetration tolerance before correction kicks in
+  max_correction_vel: float = 1.0
+  solver: ct.SolverConfig = ct.SolverConfig()
+
+
+def _tangent_basis(n):
+  """Orthonormal (t1, t2) for unit normal n, branchless axis pick."""
+  # pick the world axis least aligned with n
+  ax = jnp.abs(n)
+  a = jnp.where(
+      (ax[0] <= ax[1]) & (ax[0] <= ax[2]),
+      jnp.array([1.0, 0.0, 0.0], n.dtype),
+      jnp.where(
+          ax[1] <= ax[2],
+          jnp.array([0.0, 1.0, 0.0], n.dtype),
+          jnp.array([0.0, 0.0, 1.0], n.dtype),
+      ),
+  )
+  t1 = jnp.cross(n, a)
+  t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1) + 1e-18)
+  t2 = jnp.cross(n, t1)
+  return t1, t2
+
+
+def contact_jacobians(model, kin, contacts: coll.ContactSet):
+  """(nc, 3, nv) world-frame relative-velocity Jacobians: v_rel = J u = v(A) - v(B)."""
+  rows = []
+  for k in range(len(contacts.body_a)):
+    ba, bb = contacts.body_a[k], contacts.body_b[k]
+    pt = contacts.pos[k]
+    Ja = (
+        dynamics.point_jacobian(model, kin, ba, pt)
+        if ba >= 0
+        else jnp.zeros((3, model.nv), dtype=pt.dtype)
+    )
+    Jb = (
+        dynamics.point_jacobian(model, kin, bb, pt)
+        if bb >= 0
+        else jnp.zeros((3, model.nv), dtype=pt.dtype)
+    )
+    rows.append(Ja - Jb)
+  return jnp.stack(rows)
+
+
+def step(scene, state: State, tau: jnp.ndarray, config: StepConfig = StepConfig()) -> State:
+  model = scene.model
+  dt = scene.dt
+  q, u = state.q, state.u
+  dtype = q.dtype
+
+  tau = jnp.clip(tau * model.actuated, -model.torque_limit, model.torque_limit)
+
+  kin = dynamics.fk(model, q, u)
+  contacts = coll.collide(scene.geoms, scene.pairs, kin, getattr(scene, "field", None))
+  nc = contacts.depth.shape[0]
+
+  # --- smooth dynamics quantities ---
+  M = dynamics.crba(model, q)
+  h = dynamics.nonlinearities(model, q, u, scene.gravity)
+  L = jnp.linalg.cholesky(M)
+  v_free = u + dt * jax.scipy.linalg.cho_solve((L, True), tau - h)
+
+  # --- contact frames + Jacobians ---
+  Jc = contact_jacobians(model, kin, contacts)            # (nc, 3, nv)
+  t1t2 = [_tangent_basis(contacts.normal[k]) for k in range(nc)]
+  C = jnp.stack(
+      [jnp.stack([t1, t2, contacts.normal[k]]) for k, (t1, t2) in enumerate(t1t2)]
+  )                                                        # (nc, 3, 3) rows t1,t2,n
+
+  Jf = Jc.reshape(nc * 3, model.nv)
+  MinvJT = jax.scipy.linalg.cho_solve((L, True), Jf.T)     # (nv, nc*3)
+  Gw = (Jf @ MinvJT).reshape(nc, 3, nc, 3)
+  G = jnp.einsum("ipq,iqjr,jsr->ipjs", C, Gw, C)
+
+  # free + pre-impact contact velocities in local frames
+  v_free_c = jnp.einsum("ipq,iqv,v->ip", C, Jc, v_free)
+  v_pre_c = jnp.einsum("ipq,iqv,v->ip", C, Jc, u)
+
+  # --- normal-velocity bias: restitution + Baumgarte (reference: materials C11) ---
+  mats = scene.materials  # (n_mat, n_mat, 3): mu, restitution, threshold
+  mu = jnp.stack([mats[contacts.mat_a[k], contacts.mat_b[k], 0] for k in range(nc)])
+  e = jnp.stack([mats[contacts.mat_a[k], contacts.mat_b[k], 1] for k in range(nc)])
+  thresh = jnp.stack([mats[contacts.mat_a[k], contacts.mat_b[k], 2] for k in range(nc)])
+
+  vn_pre = v_pre_c[:, 2]
+  b_rest = jnp.where(vn_pre < -thresh, -e * vn_pre, 0.0)
+  b_baum = jnp.minimum(
+      config.erp * jnp.maximum(contacts.depth - config.slop, 0.0) / dt,
+      config.max_correction_vel,
+  )
+  b = jnp.maximum(b_rest, b_baum)                          # desired v_n+ >= b
+  c0 = v_free_c - b[:, None] * jnp.array([0.0, 0.0, 1.0], dtype)[None, :]
+
+  # --- solve ---
+  lam_loc = ct.solve_contacts(G, c0, mu, contacts.active, config=config.solver)
+
+  # --- apply impulses ---
+  lam_w = jnp.einsum("iqp,iq->ip", C, lam_loc)             # C^T lam (rows->cols)
+  du = MinvJT @ lam_w.reshape(-1)
+  u_new = v_free + du
+  q_new = dynamics.integrate_q(model, q, u_new, dt)
+
+  return State(q=q_new, u=u_new, t=state.t + dt)
+
+
+def step_with_report(scene, state, tau, config: StepConfig = StepConfig()):
+  """Like step() but also returns the ContactSet and impulses (RaiSim's
+  `getContacts()` observability surface). Slightly slower; use in tests/viz."""
+  # recompute pieces (XLA dedupes when jitted together)
+  model = scene.model
+  new_state = step(scene, state, tau, config)
+  kin = dynamics.fk(model, state.q, state.u)
+  contacts = coll.collide(scene.geoms, scene.pairs, kin, getattr(scene, "field", None))
+  return new_state, contacts

@@ -24,19 +24,15 @@ from flax import struct
 from raisimlib_tpu.models.model import JointType, RobotModel, build_model
 from raisimlib_tpu.models import primitives
 from raisimlib_tpu.ops import dynamics, integrator
+from raisimlib_tpu.ops.collision import (
+    GEOM_BOX,
+    GEOM_CAPSULE,
+    GEOM_CYLINDER,
+    GEOM_HEIGHTMAP,
+    GEOM_PLANE,
+    GEOM_SPHERE,
+)
 from raisimlib_tpu.ops.integrator import State
-
-
-# ---------------------------------------------------------------------------
-# Geometry spec (host-side; frozen into Scene tables at compile())
-# ---------------------------------------------------------------------------
-
-GEOM_SPHERE = 0
-GEOM_BOX = 1
-GEOM_CAPSULE = 2
-GEOM_PLANE = 3  # static ground plane (z = height)
-GEOM_HEIGHTMAP = 4
-GEOM_CYLINDER = 5
 
 
 @dataclasses.dataclass
@@ -70,11 +66,11 @@ class World:
     self._geoms: List[_GeomSpec] = []
     self._handles: List[_ObjectHandle] = []
     self._materials: List[tuple] = [(0.8, 0.0, 0.001)]  # (mu, restitution, threshold)
-    self._q_init_parts: List[np.ndarray] = []
+    self._pair_props: dict = {}         # (mat_a, mat_b) -> (mu, e, threshold)
     self._nq = 0
     self._nv = 0
 
-  # -- materials ---------------------------------------------------------
+  # -- materials (RaiSim's MaterialManager, SURVEY.md C11) ---------------
   def add_material(self, mu: float, restitution: float = 0.0, threshold: float = 0.001) -> int:
     self._materials.append((float(mu), float(restitution), float(threshold)))
     return len(self._materials) - 1
@@ -82,6 +78,27 @@ class World:
   def set_default_friction(self, mu: float):
     m = self._materials[0]
     self._materials[0] = (float(mu), m[1], m[2])
+
+  def set_material_pair_prop(self, mat_a: int, mat_b: int, mu: float,
+                             restitution: float = 0.0, threshold: float = 0.001):
+    """Explicit per-pair contact properties (mirrors `setMaterialPairProp`)."""
+    key = (min(mat_a, mat_b), max(mat_a, mat_b))
+    self._pair_props[key] = (float(mu), float(restitution), float(threshold))
+
+  def _material_pair_table(self) -> np.ndarray:
+    """(n_mat, n_mat, 3) table; unset pairs combine as mu=sqrt(mu_i mu_j),
+    e=max, threshold=max."""
+    n = len(self._materials)
+    tab = np.zeros((n, n, 3))
+    for i in range(n):
+      for j in range(n):
+        key = (min(i, j), max(i, j))
+        if key in self._pair_props:
+          tab[i, j] = self._pair_props[key]
+        else:
+          mi, mj = self._materials[i], self._materials[j]
+          tab[i, j] = (np.sqrt(mi[0] * mj[0]), max(mi[1], mj[1]), max(mi[2], mj[2]))
+    return tab
 
   # -- objects -----------------------------------------------------------
   def _merge_model_bodies(self, bodies: Sequence[dict], name: str) -> _ObjectHandle:
@@ -171,7 +188,7 @@ class World:
     model = build_model("scene", self._bodies, dtype=self.dtype)
     geom_table = coll.build_geom_table(self._geoms, dtype=self.dtype)
     pairs = coll.candidate_pairs(self._geoms, model)
-    materials = jnp.asarray(np.asarray(self._materials), dtype=self.dtype)
+    materials = jnp.asarray(self._material_pair_table(), dtype=self.dtype)
     return Scene(
         model=model,
         geoms=geom_table,
@@ -189,7 +206,7 @@ class Scene:
   model: RobotModel
   geoms: Any                      # GeomTable (ops.collision)
   pairs: Any = struct.field(pytree_node=False)  # static candidate pair list
-  materials: jnp.ndarray          # (n_mat, 3) mu, restitution, threshold
+  materials: jnp.ndarray          # (n_mat, n_mat, 3) pair table: mu, e, threshold
   gravity: jnp.ndarray
   dt: float = struct.field(pytree_node=False)
 
