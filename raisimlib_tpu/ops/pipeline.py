@@ -74,23 +74,55 @@ def contact_jacobians(model, kin, contacts: coll.ContactSet):
   return jnp.stack(rows)
 
 
-def step(scene, state: State, tau: jnp.ndarray, config: StepConfig = StepConfig()) -> State:
+def _joint_pos_index(model):
+  """Static (nv,) map dof -> qpos index for 1-dof joints (0 + mask 0 for FREE dofs)."""
+  import numpy as np
+  from raisimlib_tpu.models.model import JointType
+
+  idx = np.zeros(model.nv, dtype=np.int32)
+  mask = np.zeros(model.nv)
+  for i in range(model.nb):
+    if JointType(model.joint_types[i]) != JointType.FREE:
+      idx[model.v_adr[i]] = model.q_adr[i]
+      mask[model.v_adr[i]] = 1.0
+  return idx, mask
+
+
+def step(
+    scene,
+    state: State,
+    tau: jnp.ndarray,
+    pd_target: jnp.ndarray | None = None,
+    config: StepConfig = StepConfig(),
+) -> State:
   model = scene.model
   dt = scene.dt
   q, u = state.q, state.u
   dtype = q.dtype
 
-  tau = jnp.clip(tau * model.actuated, -model.torque_limit, model.torque_limit)
+  # --- actuation: feedforward torque + optional stable PD (SURVEY.md C10) ---
+  # PD is integrated implicitly: the -kd v' term moves into the LHS mass matrix
+  # (M + dt*diag(kd)), which keeps large gains stable at physics dt, as the
+  # reference's PD servo does.
+  tau = tau * model.actuated
+  D = jnp.zeros((model.nv,), dtype=dtype)
+  if pd_target is not None:
+    jidx, jmask = _joint_pos_index(model)
+    joint_q = q[jnp.asarray(jidx)] * jnp.asarray(jmask, dtype=dtype)
+    tau = tau + scene.kp * (pd_target - joint_q) * model.actuated
+    D = scene.kd * model.actuated
+  tau = jnp.clip(tau, -model.torque_limit, model.torque_limit)
 
   kin = dynamics.fk(model, q, u)
   contacts = coll.collide(scene.geoms, scene.pairs, kin, getattr(scene, "field", None))
   nc = contacts.depth.shape[0]
 
   # --- smooth dynamics quantities ---
-  M = dynamics.crba(model, q)
+  M = dynamics.crba(model, q) + dt * jnp.diag(D)
   h = dynamics.nonlinearities(model, q, u, scene.gravity)
   L = jnp.linalg.cholesky(M)
-  v_free = u + dt * jax.scipy.linalg.cho_solve((L, True), tau - h)
+  # (M + dt D) v_free = M u + dt (tau - h)  ==  v_free = u + dt Minv(tau - h - D u)
+  v_free = u + dt * jax.scipy.linalg.cho_solve((L, True), tau - h - D * u)
 
   # --- contact frames + Jacobians ---
   Jc = contact_jacobians(model, kin, contacts)            # (nc, 3, nv)

@@ -196,6 +196,8 @@ class World:
         materials=materials,
         gravity=jnp.asarray(self.gravity, dtype=self.dtype),
         dt=self.dt,
+        kp=jnp.zeros((model.nv,), dtype=self.dtype),
+        kd=jnp.zeros((model.nv,), dtype=self.dtype),
     )
 
 
@@ -209,17 +211,31 @@ class Scene:
   materials: jnp.ndarray          # (n_mat, n_mat, 3) pair table: mu, e, threshold
   gravity: jnp.ndarray
   dt: float = struct.field(pytree_node=False)
+  kp: jnp.ndarray = None          # (nv,) PD stiffness (0 disables)
+  kd: jnp.ndarray = None          # (nv,) PD damping
 
   def init_state(self, q=None, u=None) -> State:
     return integrator.init_state(self.model, q, u)
 
-  def step(self, state: State, tau: Optional[jnp.ndarray] = None) -> State:
+  def set_pd_gains(self, kp, kd) -> "Scene":
+    """Per-dof PD gains (RaiSim `setPdGains`); scalars broadcast over actuated dofs."""
+    dtype = self.model.q_init.dtype
+    kp = jnp.broadcast_to(jnp.asarray(kp, dtype), (self.model.nv,))
+    kd = jnp.broadcast_to(jnp.asarray(kd, dtype), (self.model.nv,))
+    return self.replace(kp=kp, kd=kd)
+
+  def step(
+      self,
+      state: State,
+      tau: Optional[jnp.ndarray] = None,
+      pd_target: Optional[jnp.ndarray] = None,
+  ) -> State:
     """One physics step: collision -> contact solve -> integrate (SURVEY.md §3.1)."""
     from raisimlib_tpu.ops import pipeline
 
     if tau is None:
       tau = jnp.zeros((self.model.nv,), dtype=state.q.dtype)
-    return pipeline.step(self, state, tau)
+    return pipeline.step(self, state, tau, pd_target)
 
   def step_smooth(self, state: State, tau: Optional[jnp.ndarray] = None) -> State:
     if tau is None:
