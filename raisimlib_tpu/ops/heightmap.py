@@ -1,24 +1,139 @@
 """Heightmap terrain (SURVEY.md C5) — dense grid heightfield + narrow phase.
 
-Implemented in the PR4 slice (ANYmal trot over procedural terrain). The field data
-structure and collide entry point are defined here; kernels land with that milestone.
+TPU-native redesign of RaiSim's `HeightMap` object (reference: closed core; public
+API `World::addHeightMap`, `TerrainProperties`). The reference stores a grid
+heightfield and collides every geom against the triangle cells under it. Here the
+field is a dense device array; the narrow phase is a branchless gather + plane test:
+
+  * each (x, y) query maps to a grid cell split into two triangles (the same
+    triangulation raisim/ODE heightfields use);
+  * the surface height and normal at the query point come from the triangle plane;
+  * penetration is the signed point-plane distance, masked to the field's extent.
+
+Everything is fixed-shape: a sphere geom contributes 1 contact slot vs the field,
+a capsule 2 (its endcaps), a box 8 (its corners) — mirroring the primitive-vs-plane
+slot counts in ops/collision.py so the padded ContactSet stays static.
+
+`heights` (and `center`) are pytree leaves, so *batched terrain scenarios* come for
+free: `vmap` over a stack of heightfields maps thousands of procedurally generated
+terrains per chip (BASELINE config 4).
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
 
 @struct.dataclass
 class HeightField:
-  """Regular-grid heightfield centered at (cx, cy): z = h(x, y), bilinear cells."""
+  """Regular-grid heightfield centered at (cx, cy): z = h(x, y), triangle cells.
 
-  heights: jnp.ndarray   # (nx, ny)
-  size_x: float = struct.field(pytree_node=False)
-  size_y: float = struct.field(pytree_node=False)
-  center: jnp.ndarray    # (2,)
+  heights[i, j] is the height at x-index i, y-index j; the grid spans
+  [cx - size_x/2, cx + size_x/2] x [cy - size_y/2, cy + size_y/2].
+  """
+
+  heights: jnp.ndarray   # (nx, ny) — pytree leaf: vmap over terrains
+  center: jnp.ndarray    # (2,)     — pytree leaf: vmap over placements
+  size_x: float = struct.field(pytree_node=False, default=1.0)
+  size_y: float = struct.field(pytree_node=False, default=1.0)
+
+
+def surface_at(field: HeightField, xy: jnp.ndarray):
+  """Surface height, unit normal, and in-bounds mask at world (x, y).
+
+  Uses the triangle containing the query point (cell split along the (0,0)-(1,1)
+  diagonal's complement: lower tri when u+v<=1), so the returned (z, n) define the
+  exact local contact plane — consistent height *and* normal, unlike bilinear
+  sampling whose gradient is discontinuous mid-cell.
+  """
+  H = field.heights
+  nx, ny = H.shape
+  dtype = xy.dtype
+  dx = field.size_x / (nx - 1)
+  dy = field.size_y / (ny - 1)
+
+  fx = (xy[0] - field.center[0] + 0.5 * field.size_x) / dx
+  fy = (xy[1] - field.center[1] + 0.5 * field.size_y) / dy
+  inside = (fx >= 0.0) & (fx <= nx - 1.0) & (fy >= 0.0) & (fy <= ny - 1.0)
+
+  i = jnp.clip(jnp.floor(fx).astype(jnp.int32), 0, nx - 2)
+  j = jnp.clip(jnp.floor(fy).astype(jnp.int32), 0, ny - 2)
+  u = jnp.clip(fx - i, 0.0, 1.0)
+  v = jnp.clip(fy - j, 0.0, 1.0)
+
+  h00 = H[i, j]
+  h10 = H[i + 1, j]
+  h01 = H[i, j + 1]
+  h11 = H[i + 1, j + 1]
+
+  lower = (u + v) <= 1.0
+  # lower triangle (0,0)-(1,0)-(0,1); upper triangle (1,1)-(1,0)-(0,1)
+  z_low = h00 + u * (h10 - h00) + v * (h01 - h00)
+  z_up = h11 + (1.0 - u) * (h01 - h11) + (1.0 - v) * (h10 - h11)
+  z = jnp.where(lower, z_low, z_up)
+
+  gx = jnp.where(lower, h10 - h00, h11 - h01) / dx
+  gy = jnp.where(lower, h01 - h00, h11 - h10) / dy
+  n = jnp.stack([-gx, -gy, jnp.ones((), dtype)])
+  n = n / jnp.sqrt(jnp.sum(n * n) + 1e-18)
+  return z, n, inside
+
+
+def _point_contact(field: HeightField, p: jnp.ndarray, r):
+  """Contact of a sphere (center p, radius r; r=0 for a point) vs the field.
+
+  Signed distance to the local triangle plane reduces to n_z * (p_z - z_surf)
+  because the plane passes through the surface point directly below p.
+  """
+  z, n, inside = surface_at(field, p[:2])
+  dist = n[2] * (p[2] - z)
+  depth = r - dist
+  pos = p - r * n
+  return pos, n, depth, (depth > 0) & inside
+
+
+def _sphere_hm(geoms, gi, kin, field):
+  from raisimlib_tpu.ops.collision import _geom_pose
+
+  r = geoms.params[gi, 0]
+  _, c = _geom_pose(geoms, gi, kin)
+  return [_point_contact(field, c, r)]
+
+
+def _capsule_hm(geoms, gi, kin, field):
+  from raisimlib_tpu.ops.collision import _geom_pose
+
+  r, hl = geoms.params[gi, 0], geoms.params[gi, 1]
+  R, p = _geom_pose(geoms, gi, kin)
+  axis = R[:, 2]
+  return [_point_contact(field, p + axis * (s * hl), r) for s in (-1.0, 1.0)]
+
+
+def _box_hm(geoms, gi, kin, field):
+  from raisimlib_tpu.ops.collision import _geom_pose
+
+  he = geoms.params[gi, :3]
+  R, p = _geom_pose(geoms, gi, kin)
+  out = []
+  for sx in (-1.0, 1.0):
+    for sy in (-1.0, 1.0):
+      for sz in (-1.0, 1.0):
+        corner = p + R @ (he * jnp.array([sx, sy, sz], dtype=p.dtype))
+        out.append(_point_contact(field, corner, jnp.zeros((), p.dtype)))
+  return out
 
 
 def collide_heightmap(geoms, gi, kin, field: HeightField):
-  raise NotImplementedError("heightmap narrow phase lands with the PR4 milestone")
+  """Narrow phase of geom `gi` vs the heightfield; fixed slot count per gtype."""
+  from raisimlib_tpu.ops import collision as coll
+
+  t = geoms.gtype[gi]
+  if t == coll.GEOM_SPHERE:
+    return _sphere_hm(geoms, gi, kin, field)
+  if t == coll.GEOM_CAPSULE:
+    return _capsule_hm(geoms, gi, kin, field)
+  if t == coll.GEOM_BOX:
+    return _box_hm(geoms, gi, kin, field)
+  raise NotImplementedError(f"heightmap narrow phase for gtype {t}")

@@ -67,6 +67,7 @@ class World:
     self._handles: List[_ObjectHandle] = []
     self._materials: List[tuple] = [(0.8, 0.0, 0.001)]  # (mu, restitution, threshold)
     self._pair_props: dict = {}         # (mat_a, mat_b) -> (mu, e, threshold)
+    self._field = None                  # HeightField (at most one per world, as RaiSim)
     self._nq = 0
     self._nv = 0
 
@@ -181,6 +182,17 @@ class World:
     self._geoms.append(_GeomSpec(-1, GEOM_PLANE, np.array([height, 0, 0, 0]),
                                  np.zeros(3), np.eye(3), material))
 
+  def add_heightmap(self, field, material: int = 0) -> None:
+    """Add a `HeightField` terrain (RaiSim `World::addHeightMap`, SURVEY.md C5).
+
+    The field's heights/center are pytree leaves on the compiled Scene, so batched
+    terrain scenarios are `scene.replace(field=...)` under `vmap`.
+    """
+    assert self._field is None, "one heightmap per world (matches reference usage)"
+    self._field = field
+    self._geoms.append(_GeomSpec(-1, GEOM_HEIGHTMAP, np.zeros(4),
+                                 np.zeros(3), np.eye(3), material))
+
   # -- compile -----------------------------------------------------------
   def compile(self) -> "Scene":
     from raisimlib_tpu.ops import collision as coll
@@ -198,6 +210,7 @@ class World:
         dt=self.dt,
         kp=jnp.zeros((model.nv,), dtype=self.dtype),
         kd=jnp.zeros((model.nv,), dtype=self.dtype),
+        field=self._field,
     )
 
 
@@ -213,6 +226,7 @@ class Scene:
   dt: float = struct.field(pytree_node=False)
   kp: jnp.ndarray = None          # (nv,) PD stiffness (0 disables)
   kd: jnp.ndarray = None          # (nv,) PD damping
+  field: Any = None               # HeightField terrain, or None
 
   def init_state(self, q=None, u=None) -> State:
     return integrator.init_state(self.model, q, u)
