@@ -77,15 +77,25 @@ def build_geom_table(specs: Sequence, dtype=jnp.float32) -> GeomTable:
   )
 
 
-def candidate_pairs(specs: Sequence, model: RobotModel) -> tuple:
+def candidate_pairs(specs: Sequence, model: RobotModel,
+                    self_collision: bool = False) -> tuple:
   """Static candidate pair list (ia, ib): every supported geom pair except same-body
-  and parent-child body pairs (adjacent links overlap by construction)."""
+  and parent-child body pairs (adjacent links overlap by construction).
+
+  Geoms belonging to the same object (same `obj` id >= 0) are skipped unless
+  `self_collision` — matching the reference, where an ArticulatedSystem's
+  self-collisions are opt-in. Fewer pairs = fewer contact slots = a shorter
+  Gauss-Seidel chain, which is the hot serial path on TPU."""
   pairs = []
   ng = len(specs)
   for i in range(ng):
     for j in range(i + 1, ng):
       bi, bj = specs[i].body, specs[j].body
       if bi == bj:
+        continue
+      oi = getattr(specs[i], "obj", -1)
+      oj = getattr(specs[j], "obj", -1)
+      if oi >= 0 and oi == oj and not self_collision:
         continue
       if bi >= 0 and bj >= 0:
         if model.parent[bi] == bj or model.parent[bj] == bi:

@@ -9,9 +9,11 @@ convex per-contact subproblem
 
 whose KKT conditions are precisely open/stick/slip complementarity (v+ = grad E).
 The reference solves the cone-boundary case by bisection over the cone angle; here the
-boundary search is a fixed 32-point angular grid + fixed-trip golden-section refine —
-branch-free, constant-shape, and vectorized across the batch axis (`vmap`), which is
-the TPU-idiomatic equivalent of the reference's scalar bisection loop.
+boundary search is a fixed n-point angular grid evaluated *in parallel* (one fused
+vector op — the TPU-idiomatic replacement for the reference's scalar bisection loop)
+followed by a fixed number of guarded Newton steps on dE/dtheta. Sequential depth per
+cone solve is O(n_newton) ~ 2, not O(n_bisection) ~ 30, which is what keeps the
+Gauss-Seidel sweep's serial chain short enough for the >=10k rollouts/s/chip target.
 
 All loops are fixed-trip; inactive contacts are masked, never skipped.
 """
@@ -27,12 +29,13 @@ from flax import struct
 class SolverConfig:
   """Fixed trip counts. Defaults balance accuracy against *sequential depth* — on TPU
   the scalar loop bodies execute serially (~us each), so depth = sweeps x contacts x
-  golden iters is the single-world latency budget. 12 sweeps matches the reference's
-  typical convergence; golden 12 refines the 32-point grid to ~6e-4 rad."""
+  newton steps is the single-world latency budget. 12 sweeps matches the reference's
+  typical convergence; 2 Newton steps from the best grid cell reach ~machine-precision
+  theta (E is smooth along the cone boundary)."""
 
   sweeps: int = struct.field(pytree_node=False, default=12)
   n_grid: int = struct.field(pytree_node=False, default=32)
-  n_golden: int = struct.field(pytree_node=False, default=12)
+  n_newton: int = struct.field(pytree_node=False, default=2)
 
 
 def _solve3(A, b):
@@ -86,44 +89,50 @@ def cone_solve(G: jnp.ndarray, c: jnp.ndarray, mu, config: SolverConfig = Solver
   open_ok = c[2] >= 0.0
 
   # --- slip: s(theta) pinned by v_n+ = 0; minimize E over theta ---
+  # Coarse localization: evaluate E on the full angular grid in ONE vectorized op.
   thetas = jnp.linspace(0.0, 2.0 * jnp.pi, config.n_grid, endpoint=False, dtype=dtype)
 
   def curve(theta):
     d = jnp.stack([mu * jnp.cos(theta), mu * jnp.sin(theta), jnp.ones_like(theta)])
     gd = G @ d
-    s = -c[2] / (gd[2] + 1e-20)
-    feas = (gd[2] > 1e-12) & (s > 0.0)
+    # safe division: zero out infeasible lanes BEFORE computing E so that neither
+    # the primal nor its VJP can produce inf*0 = nan through the masked branch
+    den_ok = gd[2] > 1e-12
+    s = -c[2] / jnp.where(den_ok, gd[2], 1.0)
+    feas = den_ok & (s > 0.0)
+    s = jnp.where(feas, s, 0.0)
     E = 0.5 * s * s * (d @ gd) + s * (d @ c)
     return jnp.where(feas, E, big), s, d
 
-  E_grid, _, _ = jax.vmap(lambda t: curve(t))(thetas)
+  def curve_E(theta):
+    return curve(theta)[0]
+
+  E_grid = jax.vmap(curve_E)(thetas)
   k = jnp.argmin(E_grid)
   dtheta = 2.0 * jnp.pi / config.n_grid
-  lo = thetas[k] - dtheta
-  hi = thetas[k] + dtheta
 
-  # golden-section refine (fixed trips, branchless)
-  gr = 0.6180339887498949
-  x1 = hi - gr * (hi - lo)
-  x2 = lo + gr * (hi - lo)
-  f1 = curve(x1)[0]
-  f2 = curve(x2)[0]
+  # Parabolic fit through the best cell's neighbors (wrap-around), then guarded
+  # Newton on dE/dtheta — each step is one fused op, so the serial chain stays short.
+  Em = E_grid[(k - 1) % config.n_grid]
+  E0 = E_grid[k]
+  Ep = E_grid[(k + 1) % config.n_grid]
+  denom = Em - 2.0 * E0 + Ep
+  den_ok = jnp.abs(denom) > 1e-30
+  off = jnp.where(den_ok, 0.5 * (Em - Ep) / jnp.where(den_ok, denom, 1.0), 0.0)
+  theta_best = thetas[k] + jnp.clip(off, -1.0, 1.0) * dtheta
 
-  def gbody(i, carry):
-    lo, hi, x1, x2, f1, f2 = carry
-    left = f1 < f2
-    lo_n = jnp.where(left, lo, x1)
-    hi_n = jnp.where(left, x2, hi)
-    x1_n = jnp.where(left, hi_n - gr * (hi_n - lo_n), x2)
-    x2_n = jnp.where(left, x1, lo_n + gr * (hi_n - lo_n))
-    f1_n = jnp.where(left, curve(x1_n)[0], f2)
-    f2_n = jnp.where(left, f1, curve(x2_n)[0])
-    return lo_n, hi_n, x1_n, x2_n, f1_n, f2_n
+  dE = jax.grad(curve_E)
+  d2E = jax.grad(lambda t: dE(t))
+  for _ in range(config.n_newton):
+    g1 = dE(theta_best)
+    g2 = d2E(theta_best)
+    g2_ok = g2 > 1e-12
+    step = jnp.where(g2_ok, g1 / jnp.where(g2_ok, g2, 1.0), 0.0)
+    cand = theta_best - jnp.clip(step, -dtheta, dtheta)
+    # keep the step only if it is feasible and does not increase E
+    better = curve_E(cand) <= curve_E(theta_best)
+    theta_best = jnp.where(better, cand, theta_best)
 
-  lo, hi, x1, x2, f1, f2 = jax.lax.fori_loop(
-      0, config.n_golden, gbody, (lo, hi, x1, x2, f1, f2)
-  )
-  theta_best = 0.5 * (lo + hi)
   _, s_best, d_best = curve(theta_best)
   # guard: if no feasible slip direction existed, fall back to the normal-only impulse
   any_feas = jnp.min(E_grid) < big

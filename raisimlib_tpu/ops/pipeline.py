@@ -88,13 +88,14 @@ def _joint_pos_index(model):
   return idx, mask
 
 
-def step(
+def _pre_solve(
     scene,
     state: State,
     tau: jnp.ndarray,
     pd_target: jnp.ndarray | None = None,
     config: StepConfig = StepConfig(),
-) -> State:
+):
+  """Everything up to the contact solve: returns solver inputs + apply context."""
   model = scene.model
   dt = scene.dt
   q, u = state.q, state.u
@@ -155,16 +156,55 @@ def step(
   b = jnp.maximum(b_rest, b_baum)                          # desired v_n+ >= b
   c0 = v_free_c - b[:, None] * jnp.array([0.0, 0.0, 1.0], dtype)[None, :]
 
-  # --- solve ---
-  lam_loc = ct.solve_contacts(G, c0, mu, contacts.active, config=config.solver)
+  return (G, c0, mu, contacts.active), (C, MinvJT, v_free)
 
-  # --- apply impulses ---
+
+def _post_solve(scene, state: State, ctx, lam_loc) -> State:
+  """Apply contact impulses and integrate positions."""
+  C, MinvJT, v_free = ctx
   lam_w = jnp.einsum("iqp,iq->ip", C, lam_loc)             # C^T lam (rows->cols)
   du = MinvJT @ lam_w.reshape(-1)
   u_new = v_free + du
-  q_new = dynamics.integrate_q(model, q, u_new, dt)
+  q_new = dynamics.integrate_q(scene.model, state.q, u_new, scene.dt)
+  return State(q=q_new, u=u_new, t=state.t + scene.dt)
 
-  return State(q=q_new, u=u_new, t=state.t + dt)
+
+def step(
+    scene,
+    state: State,
+    tau: jnp.ndarray,
+    pd_target: jnp.ndarray | None = None,
+    config: StepConfig = StepConfig(),
+) -> State:
+  solver_in, ctx = _pre_solve(scene, state, tau, pd_target, config)
+  G, c0, mu, active = solver_in
+  lam_loc = ct.solve_contacts(G, c0, mu, active, config=config.solver)
+  return _post_solve(scene, state, ctx, lam_loc)
+
+
+def step_batch(
+    scene,
+    state: State,
+    tau: jnp.ndarray,
+    pd_target: jnp.ndarray | None = None,
+    config: StepConfig = StepConfig(),
+) -> State:
+  """Batched physics step: state/tau/pd_target carry a leading batch axis.
+
+  Identical math to `vmap(step)`, but the contact solve runs as ONE fused Pallas
+  kernel with the batch on the TPU lane axis (ops/pallas_contact.py) instead of a
+  per-world chain of tiny padded ops — this is the throughput path for rollout
+  benchmarks, MPPI sampling, and RL-style batched stepping."""
+  from raisimlib_tpu.ops import pallas_contact
+
+  pre = jax.vmap(
+      lambda s, t, p: _pre_solve(scene, s, t, p, config),
+      in_axes=(0, 0, 0 if pd_target is not None else None),
+  )
+  solver_in, ctx = pre(state, tau, pd_target)
+  G, c0, mu, active = solver_in
+  lam = pallas_contact.solve_contacts_batch(G, c0, mu, active, config.solver)
+  return jax.vmap(lambda s, c, l: _post_solve(scene, s, c, l))(state, ctx, lam)
 
 
 def step_with_report(scene, state, tau, config: StepConfig = StepConfig()):

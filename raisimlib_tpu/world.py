@@ -43,6 +43,7 @@ class _GeomSpec:
   offset_pos: np.ndarray
   offset_rot: np.ndarray
   material: int
+  obj: int = -1       # owning object id; same-obj pairs skipped unless self_collision
 
 
 @dataclasses.dataclass
@@ -58,8 +59,10 @@ class _ObjectHandle:
 class World:
   """Accumulates objects, then compiles to a frozen `Scene`."""
 
-  def __init__(self, dt: float = 0.001, gravity=(0.0, 0.0, -9.81), dtype=jnp.float32):
+  def __init__(self, dt: float = 0.001, gravity=(0.0, 0.0, -9.81), dtype=jnp.float32,
+               self_collision: bool = False):
     self.dt = float(dt)
+    self.self_collision = bool(self_collision)  # opt-in, as the reference
     self.gravity = np.asarray(gravity, dtype=np.float64)
     self.dtype = dtype
     self._bodies: List[dict] = []       # merged body specs (build_model format)
@@ -125,6 +128,7 @@ class World:
     Each geom dict: body (local index), gtype, params, offset_pos, offset_rot, material.
     """
     h = self._merge_model_bodies(bodies, name)
+    obj = len(self._handles) - 1
     for g in geoms:
       self._geoms.append(
           _GeomSpec(
@@ -134,6 +138,7 @@ class World:
               offset_pos=np.asarray(g.get("offset_pos", np.zeros(3)), dtype=np.float64),
               offset_rot=np.asarray(g.get("offset_rot", np.eye(3)), dtype=np.float64),
               material=int(g.get("material", 0)),
+              obj=obj,
           )
       )
     return h
@@ -199,7 +204,7 @@ class World:
 
     model = build_model("scene", self._bodies, dtype=self.dtype)
     geom_table = coll.build_geom_table(self._geoms, dtype=self.dtype)
-    pairs = coll.candidate_pairs(self._geoms, model)
+    pairs = coll.candidate_pairs(self._geoms, model, self.self_collision)
     materials = jnp.asarray(self._material_pair_table(), dtype=self.dtype)
     return Scene(
         model=model,
@@ -250,6 +255,21 @@ class Scene:
     if tau is None:
       tau = jnp.zeros((self.model.nv,), dtype=state.q.dtype)
     return pipeline.step(self, state, tau, pd_target)
+
+  def step_batch(
+      self,
+      state: State,
+      tau: Optional[jnp.ndarray] = None,
+      pd_target: Optional[jnp.ndarray] = None,
+  ) -> State:
+    """Batched step (leading batch axis on state/tau/pd_target): same math as
+    `vmap(step)` but the contact solve runs as one fused Pallas kernel with the
+    batch on the TPU lane axis — the throughput path for rollouts/MPPI/RL."""
+    from raisimlib_tpu.ops import pipeline
+
+    if tau is None:
+      tau = jnp.zeros((state.q.shape[0], self.model.nv), dtype=state.q.dtype)
+    return pipeline.step_batch(self, state, tau, pd_target)
 
   def step_smooth(self, state: State, tau: Optional[jnp.ndarray] = None) -> State:
     if tau is None:
