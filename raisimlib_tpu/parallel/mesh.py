@@ -82,7 +82,15 @@ def make_host_chip_mesh(axis_names: Sequence[str] = ("host", "chip")) -> Mesh:
   n_hosts = jax.process_count()
   devs = jax.devices()
   per_host = len(devs) // n_hosts
-  grid = np.asarray(devs).reshape(n_hosts, per_host)
+  # Group devices explicitly by owning process so the trailing ("chip") axis is
+  # guaranteed intra-host (ICI) even when jax.devices() ordering is not contiguous
+  # per process — device-id contiguity is NOT a topology guarantee.
+  by_host = {}
+  for d in devs:
+    by_host.setdefault(d.process_index, []).append(d)
+  rows = [sorted(by_host[p], key=lambda d: d.id) for p in sorted(by_host)]
+  assert all(len(r) == per_host for r in rows), "uneven devices per host"
+  grid = np.asarray(rows, dtype=object)
   return Mesh(grid, tuple(axis_names))
 
 
@@ -98,7 +106,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-  """device_put a pytree of batched arrays with axis 0 sharded over the mesh."""
+  """device_put a pytree of batched arrays with axis 0 sharded over the mesh.
+
+  Rank-0 leaves (e.g. an unbatched scalar time) have no batch axis to shard and
+  are replicated instead of erroring with an opaque device_put message.
+  """
   return jax.tree.map(
-      lambda x: jax.device_put(x, dp_sharding(mesh, x.ndim)), tree
+      lambda x: jax.device_put(
+          x, replicated(mesh) if np.ndim(x) == 0 else dp_sharding(mesh, np.ndim(x))
+      ),
+      tree,
   )

@@ -3,8 +3,10 @@ measured at 1 chip, 1 host, and N>=2 hosts"; target >= 0.9 to 2 hosts).
 
 Times a sharded workload at a ladder of mesh sizes with a FIXED per-device batch
 (weak scaling — the deployment regime: more hosts -> more scenarios). Efficiency at
-n devices = (throughput_n / n) / throughput_1. Emits the table as structured metric
-records (utils/metrics.py JSONL) plus a plain dict for benchmarks.
+n devices is per-device throughput relative to the SMALLEST measured mesh; a 1 is
+prepended to `device_counts` automatically so the baseline is a true single device
+unless the caller explicitly opts out. Emits the table as structured metric records
+(utils/metrics.py JSONL) plus a plain dict for benchmarks.
 """
 
 from __future__ import annotations
@@ -43,6 +45,8 @@ def weak_scaling_report(
   n_avail = len(jax.devices())
   if device_counts is None:
     device_counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+  elif 1 not in device_counts:
+    device_counts = [1] + sorted(device_counts)
   rows: List[dict] = []
   base_per_dev = None
   for n in device_counts:

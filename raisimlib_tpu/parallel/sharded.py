@@ -33,7 +33,6 @@ def _dp_spec(mesh: Mesh, extra_dims: int) -> P:
 
 def make_sharded_rollout(
     scene,
-    horizon: int,
     mesh: Mesh,
     use_pd: bool = False,
     batched_solver: bool = True,
@@ -41,11 +40,11 @@ def make_sharded_rollout(
   """rollout(states, taus) -> (final_states, q_trace) sharded over the mesh.
 
   `states`: State pytree with leading global batch axis B (divisible by mesh size);
-  `taus`: (B, horizon, nv) torque (or PD-target) sequences. Per shard the physics
-  runs through `Scene.step_batch` (the fused Pallas contact path) under `lax.scan`
-  over time — the raisimGym-loop replacement of SURVEY.md §3.3.
+  `taus`: (B, horizon, nv) torque (or PD-target) sequences — the horizon is taken
+  from taus.shape[1]. Per shard the physics runs through `Scene.step_batch` (the
+  fused Pallas contact path) under `lax.scan` over time — the raisimGym-loop
+  replacement of SURVEY.md §3.3.
   """
-  nv = scene.model.nv
 
   def rollout_shard(state: State, taus: jnp.ndarray):
     def body(s, tau_t):
@@ -64,7 +63,6 @@ def make_sharded_rollout(
     final, qs = jax.lax.scan(body, state, jnp.swapaxes(taus, 0, 1))
     return final, jnp.swapaxes(qs, 0, 1)
 
-  state_specs = jax.tree.map(lambda _: _dp_spec(mesh, 0), State(q=0, u=0, t=0))
   # q/u carry (B, n) shards; t is (B,)
   in_specs = (
       State(q=_dp_spec(mesh, 1), u=_dp_spec(mesh, 1), t=_dp_spec(mesh, 0)),
@@ -74,7 +72,6 @@ def make_sharded_rollout(
       State(q=_dp_spec(mesh, 1), u=_dp_spec(mesh, 1), t=_dp_spec(mesh, 0)),
       _dp_spec(mesh, 2),
   )
-  del state_specs
   return jax.jit(
       shard_map(rollout_shard, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
                 check_vma=False)

@@ -53,7 +53,7 @@ class TestShardedRollout:
                t=jnp.zeros((B,), jnp.float32))
     taus = jnp.zeros((B, H, scene.model.nv), jnp.float32)
 
-    rollout = make_sharded_rollout(scene, H, mesh)
+    rollout = make_sharded_rollout(scene, mesh)
     final_sh, qs_sh = rollout(*shard_batch(mesh, (s0, taus)))
 
     def ref(s, taus):
