@@ -24,6 +24,7 @@ from flax import struct
 from raisimlib_tpu.ops import collision as coll
 from raisimlib_tpu.ops import contact as ct
 from raisimlib_tpu.ops import dynamics
+from raisimlib_tpu.ops import linalg
 from raisimlib_tpu.ops.integrator import State
 
 
@@ -119,11 +120,11 @@ def _pre_solve(
   nc = contacts.depth.shape[0]
 
   # --- smooth dynamics quantities ---
-  M = dynamics.crba(model, q) + dt * jnp.diag(D)
+  # crba_w (einsum CRBA, reusing FK products) + trace-time-unrolled Cholesky:
+  # the scatter CRBA + XLA batched Cholesky were ~80% of the step (ops/linalg.py).
+  M = dynamics.crba_w(model, q, kin) + dt * jnp.diag(D)
   h = dynamics.nonlinearities(model, q, u, scene.gravity)
-  L = jnp.linalg.cholesky(M)
-  # (M + dt D) v_free = M u + dt (tau - h)  ==  v_free = u + dt Minv(tau - h - D u)
-  v_free = u + dt * jax.scipy.linalg.cho_solve((L, True), tau - h - D * u)
+  L = linalg.chol(M)
 
   # --- contact frames + Jacobians ---
   Jc = contact_jacobians(model, kin, contacts)            # (nc, 3, nv)
@@ -133,7 +134,13 @@ def _pre_solve(
   )                                                        # (nc, 3, 3) rows t1,t2,n
 
   Jf = Jc.reshape(nc * 3, model.nv)
-  MinvJT = jax.scipy.linalg.cho_solve((L, True), Jf.T)     # (nv, nc*3)
+  # One fused pair of triangular sweeps for both solves:
+  #   col 0: (M + dt D) v_free = M u + dt (tau - h)
+  #           == v_free = u + dt Minv(tau - h - D u);  cols 1..: Minv J^T
+  rhs = jnp.concatenate([(tau - h - D * u)[:, None], Jf.T], axis=1)
+  sol = linalg.cho_solve(L, rhs)                           # (nv, 1 + nc*3)
+  v_free = u + dt * sol[:, 0]
+  MinvJT = sol[:, 1:]                                      # (nv, nc*3)
   Gw = (Jf @ MinvJT).reshape(nc, 3, nc, 3)
   G = jnp.einsum("ipq,iqjr,jsr->ipjs", C, Gw, C)
 

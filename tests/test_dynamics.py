@@ -75,6 +75,45 @@ class TestConsistency:
     tau_back = dynamics.rnea(model, q, u, qdd, G, f_ext)
     np.testing.assert_allclose(tau_back, tau, atol=1e-8)
 
+  @pytest.mark.parametrize("name", ["pendulum", "double_pendulum", "cartpole", "free_box"])
+  def test_crba_w_matches_crba(self, name, rng):
+    """The einsum (world-frame congruence) CRBA equals the Featherstone recursion."""
+    model = models()[name]
+    for _ in range(5):
+      q, u = random_state(model, rng)
+      M_ref = dynamics.crba(model, q)
+      M_w = dynamics.crba_w(model, q)
+      np.testing.assert_allclose(M_w, M_ref, atol=1e-9, err_msg=name)
+      # also with a shared FK (the hot-path form)
+      kin = dynamics.fk(model, q, u)
+      np.testing.assert_allclose(dynamics.crba_w(model, q, kin), M_ref, atol=1e-9)
+
+  def test_crba_w_anymal(self, rng):
+    from raisimlib_tpu.models import anymal
+    from raisimlib_tpu.models.model import build_model
+    from raisimlib_tpu.models.urdf import load_urdf
+    bodies, _, _ = load_urdf(anymal.anymal_urdf())
+    model = build_model("anymal", bodies, dtype=F64)
+    q, _ = random_state(model, rng, scale=0.4)
+    np.testing.assert_allclose(
+        dynamics.crba_w(model, q), dynamics.crba(model, q), atol=1e-8)
+
+  def test_unrolled_linalg_matches_lapack(self, rng):
+    from raisimlib_tpu.ops import linalg
+    A = rng.normal(size=(7, 7))
+    A = jnp.asarray(A @ A.T + 7 * np.eye(7))
+    B = jnp.asarray(rng.normal(size=(7, 4)))
+    L = linalg.chol(A)
+    np.testing.assert_allclose(L, np.linalg.cholesky(A), atol=1e-10)
+    np.testing.assert_allclose(
+        linalg.cho_solve(L, B), np.linalg.solve(A, B), atol=1e-9)
+    # batched leading axes
+    Ab = jnp.stack([A, 2.0 * A])
+    Bb = jnp.stack([B, B])
+    X = linalg.spd_solve(Ab, Bb)
+    np.testing.assert_allclose(X[0], np.linalg.solve(A, B), atol=1e-9)
+    np.testing.assert_allclose(X[1], np.linalg.solve(2 * A, B), atol=1e-9)
+
   @pytest.mark.parametrize("name", ["double_pendulum", "cartpole", "free_box"])
   def test_mass_matrix_spd(self, name, rng):
     model = models()[name]
