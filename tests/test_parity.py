@@ -1,0 +1,176 @@
+"""Torque-parity gate (BASELINE.json:5): the f32 production path must reproduce the
+frozen f64 reference sequences within 1e-3 at the same horizon and timestep.
+
+The reference tree has no runnable binary (it is the 3-file v0 commit —
+/root/reference/README.md:1), so the oracle is this framework's own f64 CPU
+implementation (SURVEY.md §7 hard-part 5), cross-validated against MuJoCo in
+test_dynamics.py and frozen by tests/make_goldens.py into committed npz artifacts.
+
+Gate-regime note (measured, round 2): hard-contact step maps are discontinuous at
+contact-activation/stick-slip boundaries. From the raw standing_q pose (feet at
+exactly zero depth) a 1e-7 f64 perturbation injects a 0.37 rad/s one-step transient
+— NO implementation could hold 1e-3 there, including the reference re-run against
+itself. From the settled stance the map is contraction-dominated and the measured
+f32-vs-f64 deviation is 1.7e-4 over 50 steps x 12 contacts; the goldens therefore
+pin the settled regime, which is what the gate is meant to certify.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+F32 = jnp.float32
+
+
+def _load(name):
+  path = os.path.join(GOLDEN_DIR, name)
+  assert os.path.exists(path), f"golden missing: run tests/make_goldens.py ({path})"
+  return np.load(path)
+
+
+class TestCartpoleSwingup:
+  """Config 1 (BASELINE.json:7): the control (= torque) sequence of the converged
+  f32 iLQR swing-up vs the f64 golden, 1e-3 absolute (controls peak at ~26 N)."""
+
+  def test_torque_sequence_parity(self):
+    from raisimlib_tpu.models import primitives
+    from raisimlib_tpu.mpc import ILQRConfig, ilqr, make_smooth_dyn
+
+    g = _load("cartpole_swingup.npz")
+    model = primitives.cartpole(dtype=F32)
+    G = jnp.array([0.0, 0.0, -9.81], F32)
+    dyn, nx, nu = make_smooth_dyn(model, G, dt=0.02, substeps=2)
+
+    def rc(x, u, t):
+      return (4.0 * (jnp.cos(x[1]) + 1.0) + 0.1 * x[0] ** 2
+              + 0.05 * (x[2] ** 2 + x[3] ** 2) + 0.01 * jnp.sum(u**2)) * 0.02
+
+    def fc(x):
+      return 40.0 * (jnp.cos(x[1]) + 1.0) + 2.0 * x[0] ** 2 + x[2] ** 2 + x[3] ** 2
+
+    x0 = jnp.asarray(g["x0"], F32)
+    U0 = jnp.zeros((int(g["H"]), nu), F32)
+    sol = jax.jit(
+        lambda a, b: ilqr(dyn, rc, fc, a, b, ILQRConfig(iters=40)))(x0, U0)
+
+    dU = np.abs(np.asarray(sol.U, np.float64) - g["U"])
+    assert dU.max() <= 1e-3, f"max|dU|={dU.max():.2e} (measured baseline 6.1e-4)"
+    assert abs(float(sol.cost) - float(g["cost"])) <= 1e-4
+    # and the golden itself did swing up
+    assert abs(float(g["X"][-1, 1]) - np.pi) < 0.1
+
+
+class TestSphereBoxStack:
+  """Config 2 (BASELINE.json:8): passive contact trajectory, f32 vs f64 golden."""
+
+  def test_trajectory_parity(self):
+    from raisimlib_tpu.world import World
+
+    g = _load("sphere_box_stack.npz")
+    world = World(dt=0.002, dtype=F32)
+    world.add_ground()
+    world.add_box((0.25, 0.25, 0.15), mass=2.0, pos=(0.0, 0.0, 0.151))
+    world.add_sphere(0.12, mass=1.0, pos=(0.05, 0.0, 0.45))
+    scene = world.compile()
+    s0 = scene.init_state()
+    s0 = s0.replace(q=jnp.asarray(g["q0"], F32), u=jnp.asarray(g["u0"], F32))
+    N = int(g["N"])
+
+    @jax.jit
+    def run(s):
+      def body(s, _):
+        s2 = scene.step(s)
+        return s2, s2.q
+
+      _, qs = jax.lax.scan(body, s, None, length=N)
+      return qs
+
+    qs = run(s0)
+    dq = np.abs(np.asarray(qs, np.float64) - g["q"])
+    assert dq.max() <= 1e-4, f"max|dq|={dq.max():.2e} (measured baseline 1.2e-6)"
+    # resting heights: box on ground, sphere on box
+    assert abs(float(qs[-1, 2]) - 0.15) < 2e-3
+    assert abs(float(qs[-1, 9]) - 0.42) < 2e-3
+
+
+def _torques(qs, us, q0, u0, tgts, kp=100.0, kd=2.0):
+  """Applied PD torque sequence — the BASELINE.json:5 parity observable. Torque at
+  step t is evaluated at the state ENTERING the step (the servo's input)."""
+  qs_pre = np.concatenate([np.asarray(q0)[None], np.asarray(qs)[:-1]], axis=0)
+  us_pre = np.concatenate([np.asarray(u0)[None], np.asarray(us)[:-1]], axis=0)
+  return kp * (np.asarray(tgts)[:, 6:] - qs_pre[:, 7:]) - kd * us_pre[:, 6:]
+
+
+class TestAnymalBalance:
+  """Config 3 (BASELINE.json:9): ANYmal settled stance under lateral push, implicit
+  PD through 12 ground contacts — torque sequence within 1e-3 of the f64 golden."""
+
+  def test_torque_sequence_parity(self):
+    from raisimlib_tpu.models import anymal
+    from raisimlib_tpu.models.urdf import load_urdf
+    from raisimlib_tpu.world import World
+
+    g = _load("anymal_balance.npz")
+    bodies, geoms, _ = load_urdf(anymal.anymal_urdf())
+    world = World(dt=0.0025, dtype=F32)
+    world.add_articulated_system(bodies, name="anymal", geoms=geoms)
+    world.add_ground()
+    scene = world.compile().set_pd_gains(float(g["kp"]), float(g["kd"]))
+    s0 = scene.init_state(q=jnp.asarray(g["q0"], F32))
+    s0 = s0.replace(u=jnp.asarray(g["u0"], F32))
+    tgts = jnp.asarray(g["pd_targets"], F32)
+
+    @jax.jit
+    def run(s, tgts):
+      def body(s, tgt):
+        s2 = scene.step(s, pd_target=tgt)
+        return s2, (s2.q, s2.u)
+
+      _, (qs, us) = jax.lax.scan(body, s, tgts)
+      return qs, us
+
+    qs, us = run(s0, tgts)
+    tau32 = _torques(np.asarray(qs, np.float64), np.asarray(us, np.float64),
+                     g["q0"], g["u0"], g["pd_targets"],
+                     kp=float(g["kp"]), kd=float(g["kd"]))
+    tau64 = _torques(g["q"], g["u"], g["q0"], g["u0"], g["pd_targets"],
+                     kp=float(g["kp"]), kd=float(g["kd"]))
+    dtau = np.abs(tau32 - tau64)
+    assert dtau.max() <= 1e-3, (
+        f"torque-parity gate: max|dtau|={dtau.max():.2e} over "
+        f"{tau64.shape[0]} steps (measured baseline 1.7e-4)")
+    # state-level parity is even tighter in the settled regime
+    assert np.abs(np.asarray(qs, np.float64) - g["q"]).max() <= 1e-4
+
+  def test_settled_regime_is_contractive(self):
+    """The gate's premise: from the settled stance, a small state perturbation
+    decays instead of flipping a contact branch (cf. module docstring)."""
+    from raisimlib_tpu.models import anymal
+    from raisimlib_tpu.models.urdf import load_urdf
+    from raisimlib_tpu.world import World
+
+    g = _load("anymal_balance.npz")
+    bodies, geoms, _ = load_urdf(anymal.anymal_urdf())
+    world = World(dt=0.0025, dtype=jnp.float64)
+    world.add_articulated_system(bodies, name="anymal", geoms=geoms)
+    world.add_ground()
+    scene = world.compile().set_pd_gains(float(g["kp"]), float(g["kd"]))
+    tgts = jnp.asarray(g["pd_targets"])
+
+    @jax.jit
+    def run(s, tgts):
+      def body(s, tgt):
+        return scene.step(s, pd_target=tgt), None
+
+      s, _ = jax.lax.scan(body, s, tgts)
+      return s
+
+    s0 = scene.init_state(q=jnp.asarray(g["q0"]))
+    s0 = s0.replace(u=jnp.asarray(g["u0"]))
+    sA = run(s0, tgts)
+    sB = run(s0.replace(q=s0.q.at[8].add(1e-6)), tgts)
+    assert float(jnp.max(jnp.abs(sA.u - sB.u))) < 1e-3
