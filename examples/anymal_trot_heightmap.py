@@ -1,0 +1,158 @@
+"""BASELINE config 4: ANYmal trotting MPC over procedural heightmaps, with
+BATCHED terrain scenarios — one compiled program, `vmap` over heightfield
+arrays (the pattern SURVEY.md C5/C17 prescribe: terrains are pytree leaves of
+the Scene, so scenarios batch without recompilation).
+
+Controller: receding-horizon MPPI around a diagonal-pair trot reference
+(LF+RH / RF+LH at opposite phase); the sampler optimizes PD-target sequences
+through the hard-contact step on each terrain independently.
+
+Run:  python examples/anymal_trot_heightmap.py [--smoke]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def gait_reference(n, control_dt, freq=1.5, swing=0.22, dtype=jnp.float32):
+  """(n, 12) PD-target table: stand pose + trot flexion on the swing pair."""
+  from raisimlib_tpu.models import anymal
+
+  q_stand = jnp.asarray(anymal.standing_q(), dtype)[7:]
+  t = jnp.arange(n, dtype=dtype) * control_dt
+  phase = 2.0 * jnp.pi * freq * t                        # (n,)
+  # legs LF RF LH RH; trot pairs (LF, RH) phase 0, (RF, LH) phase pi
+  offsets = jnp.asarray([0.0, jnp.pi, jnp.pi, 0.0], dtype)
+  mirror = jnp.asarray([1.0, 1.0, -1.0, -1.0], dtype)    # hind legs mirrored
+  sw = jnp.maximum(jnp.sin(phase[:, None] + offsets[None, :]), 0.0)  # (n, 4)
+  tgt = jnp.tile(q_stand[None], (n, 1)).reshape(n, 4, 3)
+  tgt = tgt.at[:, :, 1].add(swing * sw * mirror[None, :])            # HFE flex
+  tgt = tgt.at[:, :, 2].add(-1.6 * swing * sw * mirror[None, :])     # KFE fold
+  return tgt.reshape(n, 12)
+
+
+def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
+  from raisimlib_tpu.models import anymal
+  from raisimlib_tpu.models.urdf import load_urdf
+  from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step
+  from raisimlib_tpu.mpc.state_map import make_contact_dyn, state_to_vec
+  from raisimlib_tpu.ops import heightmap as hm
+  from raisimlib_tpu.ops.spatial import quat_box_minus
+  from raisimlib_tpu.utils import metrics, terrain
+  from raisimlib_tpu.world import World
+
+  dtype = jnp.float32
+  control_dt, substeps = 0.02, 8
+  n_terrains = 2 if smoke else 4
+  n_ticks = 4 if smoke else 50
+  H = 10 if smoke else 16
+  K = 32 if smoke else 96
+  v_target = 0.35
+  z_rough = 0.04 if smoke else 0.06
+
+  bodies, geoms, _ = load_urdf(anymal.anymal_urdf())
+  world = World(dt=control_dt / substeps, dtype=dtype)
+  world.add_articulated_system(bodies, name="anymal", geoms=geoms)
+  base_field = terrain.flat(0.0, size=(12.0, 6.0), samples=(48, 24),
+                            dtype=dtype)
+  world.add_heightmap(base_field)
+  scene0 = world.compile().set_pd_gains(120.0, 3.0)
+
+  q0 = jnp.asarray(anymal.standing_q(), dtype)
+  q_stand = q0[7:]
+  z0 = q0[2]
+  quat_id = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
+  gait = gait_reference(n_ticks + H, control_dt, dtype=dtype)
+  cfg = MPPIConfig(n_samples=K, sigma=0.08, temperature=0.25)
+
+  def make_cost(field):
+    def rc(x, u, t):
+      q, v = x[:19], x[19:]
+      z_surf, _, _ = hm.surface_at(field, q[:2])
+      return (6.0 * (v[3] - v_target) ** 2                 # forward speed
+              + 30.0 * (q[2] - z_surf - z0) ** 2           # height over terrain
+              + 8.0 * jnp.sum(quat_box_minus(q[3:7], quat_id) ** 2)
+              + 0.3 * (v[4] ** 2 + v[5] ** 2)              # lateral/vertical
+              + 0.02 * jnp.sum(v[6:] ** 2)) * control_dt
+
+    def fc(x):
+      q, v = x[:19], x[19:]
+      z_surf, _, _ = hm.surface_at(field, q[:2])
+      return (100.0 * (q[2] - z_surf - z0) ** 2
+              + 30.0 * jnp.sum(quat_box_minus(q[3:7], quat_id) ** 2))
+
+    return rc, fc
+
+  def trot_on_terrain(heights, key):
+    """Closed-loop trot on one heightfield; returns (x_final, xs trace)."""
+    field = scene0.field.replace(heights=heights)
+    scene = scene0.replace(field=field)
+    dyn, nx, nu = make_contact_dyn(scene, control_dt, substeps, use_pd=True)
+    rc, fc = make_cost(field)
+
+    # start standing on the local surface
+    z_start, _, _ = hm.surface_at(field, q0[:2])
+    s0 = scene.init_state(q=q0.at[2].add(z_start))
+    x0 = state_to_vec(s0)
+
+    def tick(carry, inp):
+      x, dU = carry
+      k, m = inp
+      base = jax.lax.dynamic_slice(gait, (m, 0), (H, 12))  # upcoming references
+      sol = mppi_step(dyn, rc, fc, x, base + dU, k, cfg)
+      x2 = dyn(x, sol.U[0], 0)
+      dU2 = jnp.concatenate([sol.U[1:] - base[1:], sol.U[-1:] - base[-1:]])
+      return (x2, dU2), x2[:3]
+
+    keys = jax.random.split(key, n_ticks)
+    ms = jnp.arange(n_ticks)
+    (xf, _), ps = jax.lax.scan(tick, (x0, jnp.zeros((H, 12), dtype)), (keys, ms))
+    return xf, ps
+
+  keys = jax.random.split(jax.random.PRNGKey(7), n_terrains)
+  tkeys = jax.random.split(jax.random.PRNGKey(11), n_terrains)
+  heights = jax.vmap(lambda k: terrain.generate(
+      k, terrain.TerrainProperties(z_scale=z_rough, x_size=12.0, y_size=6.0,
+                                   x_samples=48, y_samples=24),
+      dtype=dtype).heights)(tkeys)
+
+  batched = jax.jit(jax.vmap(trot_on_terrain))
+  t0 = time.perf_counter()
+  xf, ps = batched(heights, keys)
+  jax.block_until_ready(xf)
+  compile_s = time.perf_counter() - t0
+  t0 = time.perf_counter()
+  xf, ps = batched(heights, keys)
+  jax.block_until_ready(xf)
+  wall_s = time.perf_counter() - t0
+
+  dist = np.asarray(xf[:, 0])                              # forward progress
+  zs = np.asarray(xf[:, 2])
+  result = {
+      "n_terrains": n_terrains,
+      "ticks": n_ticks,
+      "sim_seconds": n_ticks * control_dt,
+      "mean_forward_m": float(dist.mean()),
+      "min_forward_m": float(dist.min()),
+      "final_heights": [round(float(z), 3) for z in zs],
+      "mpc_solves_per_s": n_terrains * n_ticks / wall_s,
+      "sample_rollouts_per_s": n_terrains * n_ticks * K / wall_s,
+      "compile_s": compile_s,
+      "terrain_z_scale": z_rough,
+  }
+  metrics.emit("example_anymal_trot_heightmap", path=metrics_path, echo=True,
+               **result)
+  if not smoke:
+    assert result["min_forward_m"] > 0.1, "a robot failed to advance"
+    assert (zs > 0.3).all(), "a robot fell"
+  return result
+
+
+if __name__ == "__main__":
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--smoke", action="store_true")
+  run(smoke=ap.parse_args().smoke)

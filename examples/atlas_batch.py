@@ -1,0 +1,123 @@
+"""BASELINE config 5: Atlas-class humanoid + 1024-robot batched scene with
+sharded rollouts and the weak-scaling table (multi-host rollout scaling).
+
+One Atlas (23 actuated dofs, 29 dofs total, 16 foot-contact slots + 23 limit
+rows) is compiled once; 1024 instances batch through `vmap`/`step_batch` and
+shard across the device mesh with `shard_map` (parallel/sharded.py). On a
+single real chip this measures rollouts/s; on a multi-device mesh (real or the
+8-virtual-CPU CI mesh) it also emits the weak-scaling efficiency table the
+BASELINE contract grades (1 chip -> 1 host -> N hosts).
+
+Run:  python examples/atlas_batch.py [--smoke] [--scaling]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_scene(dtype=jnp.float32, dt=0.004):
+  from raisimlib_tpu.models import atlas
+  from raisimlib_tpu.models.urdf import load_urdf
+  from raisimlib_tpu.world import World
+
+  bodies, geoms, jmap = load_urdf(atlas.atlas_urdf())
+  world = World(dt=dt, dtype=dtype)
+  world.add_articulated_system(bodies, name="atlas", geoms=geoms)
+  world.add_ground()
+  scene = world.compile().set_pd_gains(8000.0, 300.0)
+  q0 = jnp.asarray(atlas.standing_q(jmap), dtype)
+  return scene, q0
+
+
+def run(smoke: bool = False, scaling: bool = False,
+        metrics_path: str = "metrics/atlas_batch.jsonl"):
+  from raisimlib_tpu.utils import metrics
+
+  dtype = jnp.float32
+  B = 64 if smoke else 1024
+  H = 5 if smoke else 50
+  scene, q0 = build_scene(dtype)
+  nv, nq = scene.model.nv, scene.model.nq
+
+  def batch_states(scene, B, key):
+    s0 = scene.init_state(q=q0)
+    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+    dq = 0.01 * jax.random.normal(key, (B, nq), dtype)
+    return states.replace(q=states.q + dq)
+
+  pd1 = jnp.zeros((nv,), dtype).at[6:].set(q0[7:])
+
+  # ---- single-device batched rollout (the 1024-robot scene) ----
+  states = batch_states(scene, B, jax.random.PRNGKey(0))
+  pd = jnp.broadcast_to(pd1, (B, nv))
+  tau = jnp.zeros((B, nv), dtype)
+
+  @jax.jit
+  def rollout(states):
+    def body(s, _):
+      return scene.step_batch(s, tau, pd), None
+
+    out, _ = jax.lax.scan(body, states, None, length=H)
+    return out
+
+  t0 = time.perf_counter()
+  out = rollout(states)
+  jax.block_until_ready(out.q)
+  compile_s = time.perf_counter() - t0
+  t0 = time.perf_counter()
+  out = rollout(states)
+  jax.block_until_ready(out.q)
+  wall_s = time.perf_counter() - t0
+
+  heights = np.asarray(out.q[:, 2])
+  result = {
+      "batch": B,
+      "horizon": H,
+      "rollouts_per_s": B / wall_s,
+      "steps_per_s": B * H / wall_s,
+      "compile_s": compile_s,
+      "standing_fraction": float((heights > 0.9).mean()),
+      "mean_height": float(heights.mean()),
+      "n_devices": len(jax.devices()),
+  }
+  metrics.emit("example_atlas_batch", path=metrics_path, echo=True, **result)
+  if not smoke:
+    assert result["standing_fraction"] > 0.99, "robots fell in the batched scene"
+
+  # ---- weak-scaling table over the available mesh ----
+  if scaling:
+    from raisimlib_tpu.parallel.scaling import weak_scaling_report
+    from raisimlib_tpu.parallel.sharded import make_sharded_rollout
+    from raisimlib_tpu.parallel.mesh import shard_batch
+
+    per_dev = 16 if smoke else 128
+    Hs = 3 if smoke else 10
+
+    def build(mesh):
+      n = mesh.devices.size
+      Bs = per_dev * n
+      sts = batch_states(scene, Bs, jax.random.PRNGKey(1))
+      pds = jnp.broadcast_to(pd1, (Bs, Hs, nv))
+      fn = make_sharded_rollout(scene, mesh, use_pd=True, batched_solver=True)
+      sts, pds = shard_batch(mesh, (sts, pds))
+      return (lambda s, p: fn(s, p)[0].q), (sts, pds)
+
+    counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
+    rows = weak_scaling_report(build, per_dev, device_counts=counts,
+                               unit="rollouts/s")
+    for r in rows:
+      metrics.emit("atlas_weak_scaling", path=metrics_path, echo=True, **r)
+    result["scaling"] = rows
+  return result
+
+
+if __name__ == "__main__":
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--smoke", action="store_true")
+  ap.add_argument("--scaling", action="store_true")
+  args = ap.parse_args()
+  run(smoke=args.smoke, scaling=args.scaling)

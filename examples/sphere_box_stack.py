@@ -1,0 +1,71 @@
+"""BASELINE config 2: sphere + box stack on flat ground — contact-solver
+correctness surface (4+ simultaneous contacts, friction, stacking). Mirrors the
+reference's `primitives` demo. Asserts stack stability over a 10 s simulation
+and reports penetration / drift bounds.
+
+Run:  python examples/sphere_box_stack.py [--smoke]
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def run(smoke: bool = False, metrics_path: str = "metrics/sphere_box_stack.jsonl"):
+  from raisimlib_tpu.utils import metrics
+  from raisimlib_tpu.world import World
+
+  dtype = jnp.float32
+  dt = 0.002
+  world = World(dt=dt, dtype=dtype)
+  world.add_ground()
+  world.add_box((0.25, 0.25, 0.15), mass=2.0, pos=(0.0, 0.0, 0.151))
+  world.add_sphere(0.12, mass=1.0, pos=(0.05, 0.0, 0.45))
+  scene = world.compile()
+  s0 = scene.init_state()
+  s0 = s0.replace(u=s0.u.at[9].set(0.3))     # sideways kick on the sphere
+
+  seconds = 1.0 if smoke else 10.0
+  n = int(seconds / dt)
+
+  @jax.jit
+  def simulate(s):
+    def body(s, _):
+      s2 = scene.step(s)
+      return s2, (s2.q[2], s2.q[9])          # box z, sphere z
+
+    return jax.lax.scan(body, s, None, length=n)
+
+  t0 = time.perf_counter()
+  final, (box_z, sph_z) = simulate(s0)
+  jax.block_until_ready(final.q)
+  wall_s = time.perf_counter() - t0
+
+  box_z = np.asarray(box_z)
+  sph_z = np.asarray(sph_z)
+  result = {
+      "sim_seconds": seconds,
+      "wall_s": wall_s,
+      "realtime_factor": seconds / wall_s,
+      "box_z_final": float(box_z[-1]),
+      "sphere_z_final": float(sph_z[-1]),
+      "box_penetration_max": float(max(0.0, 0.15 - box_z.min())),
+      "sphere_drift_xy": float(jnp.linalg.norm(final.q[7:9])),
+      "settled_speed": float(jnp.abs(final.u).max()),
+  }
+  metrics.emit("example_sphere_box_stack", path=metrics_path, echo=True, **result)
+  if not smoke:
+    assert abs(result["box_z_final"] - 0.15) < 5e-3, "box not resting on ground"
+    assert abs(result["sphere_z_final"] - 0.42) < 5e-3, "sphere not resting on box"
+    assert result["box_penetration_max"] < 5e-3, "penetration grew"
+    assert result["settled_speed"] < 0.05, "stack did not settle"
+  return result
+
+
+if __name__ == "__main__":
+  ap = argparse.ArgumentParser()
+  ap.add_argument("--smoke", action="store_true")
+  run(smoke=ap.parse_args().smoke)

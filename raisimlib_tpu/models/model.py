@@ -65,6 +65,9 @@ class RobotModel:
   # actuation
   actuated: jnp.ndarray      # (nv,) 1.0 where a motor acts
   torque_limit: jnp.ndarray  # (nv,)
+  # joint position limits, per dof (±1e9 = unlimited; FREE dofs unlimited)
+  joint_lo: jnp.ndarray      # (nv,)
+  joint_hi: jnp.ndarray      # (nv,)
   # default / initial configuration
   q_init: jnp.ndarray        # (nq,)
 
@@ -111,6 +114,7 @@ def build_model(
   inertia6 = np.zeros((nb, 6, 6))
   mass = np.zeros((nb,))
   actuated_list, tl_list, q_init = [], [], []
+  lo_list, hi_list = [], []
 
   for i, b in enumerate(bodies):
     p = int(b["parent"])
@@ -145,6 +149,12 @@ def build_model(
     tl = float(b.get("torque_limit", 1e9))
     actuated_list += [1.0 if act else 0.0] * ndof
     tl_list += [tl] * ndof
+    if jt == JointType.FREE:
+      lo_list += [-1e9] * ndof
+      hi_list += [1e9] * ndof
+    else:
+      lo_list.append(float(b.get("q_lo", -1e9)))
+      hi_list.append(float(b.get("q_hi", 1e9)))
     q0 = b.get("q_init")
     if q0 is None:
       if jt == JointType.FREE:
@@ -171,5 +181,7 @@ def build_model(
       mass=jnp.asarray(mass, dtype=dtype),
       actuated=jnp.asarray(actuated_list, dtype=dtype),
       torque_limit=jnp.asarray(tl_list, dtype=dtype),
+      joint_lo=jnp.asarray(lo_list, dtype=dtype),
+      joint_hi=jnp.asarray(hi_list, dtype=dtype),
       q_init=jnp.asarray(q_init, dtype=dtype),
   )

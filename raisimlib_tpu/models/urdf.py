@@ -161,9 +161,13 @@ def load_urdf(
     )
     limit_el = jel.find("limit")
     effort = float(limit_el.get("effort", 1e9)) if limit_el is not None else 1e9
+    q_lo = float(limit_el.get("lower", -1e9)) if limit_el is not None else -1e9
+    q_hi = float(limit_el.get("upper", 1e9)) if limit_el is not None else 1e9
+    if jtype == "continuous":  # no position limits by definition
+      q_lo, q_hi = -1e9, 1e9
     joints.append(
         dict(name=jel.get("name"), type=jtype, parent=parent, child=child,
-             pos=pos, rot=R, axis=axis, effort=effort)
+             pos=pos, rot=R, axis=axis, effort=effort, q_lo=q_lo, q_hi=q_hi)
     )
     child_of[child] = joints[-1]
 
@@ -242,6 +246,7 @@ def load_urdf(
       spec = dict(parent=parent_idx, joint=jt, axis=joint["axis"], pos=joint["pos"],
                   rot=joint["rot"], mass=max(link.mass, 1e-9), com=link.com,
                   inertia=link.inertia, actuated=True, torque_limit=joint["effort"],
+                  q_lo=joint.get("q_lo", -1e9), q_hi=joint.get("q_hi", 1e9),
                   name=link_name)
     idx = len(body_specs)
     body_specs.append(spec)

@@ -106,7 +106,7 @@ def candidate_pairs(specs: Sequence, model: RobotModel,
       ti, tj = int(specs[i].gtype), int(specs[j].gtype)
       key = tuple(sorted((ti, tj)))
       if key not in _PAIR_SLOTS:
-        continue  # unsupported pair type (documented gap, e.g. box-box)
+        continue  # unsupported pair type (cylinder/mesh narrow phase)
       # order pair so the lower gtype comes first (kernels assume canonical order)
       if ti <= tj:
         pairs.append((i, j))

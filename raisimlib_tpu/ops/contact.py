@@ -36,6 +36,12 @@ class SolverConfig:
   sweeps: int = struct.field(pytree_node=False, default=12)
   n_grid: int = struct.field(pytree_node=False, default=32)
   n_newton: int = struct.field(pytree_node=False, default=2)
+  # static per-row kinds ("cone" | "lin" | "bilateral"), set by the pipeline when
+  # constraint rows (joint limits / wires / pins) are appended; () = all cone.
+  # The pure solver is kind-agnostic (the generic cone solve is exact for lin
+  # rows, and bilateral rows are flagged by mu > BILATERAL_MU); the Pallas
+  # kernel specializes its per-row update on these for throughput.
+  row_kinds: tuple = struct.field(pytree_node=False, default=())
 
 
 def _solve3(A, b):
@@ -140,8 +146,12 @@ def cone_solve(G: jnp.ndarray, c: jnp.ndarray, mu, config: SolverConfig = Solver
   d_safe = jnp.where(any_feas, d_best, jnp.array([0.0, 0.0, 1.0], dtype))
   lam_slip = s_safe * d_safe
 
+  # bilateral rows (pin constraints — ops/constraints.py) take the unconstrained
+  # 3x3 solve regardless of cone feasibility; flagged by the mu sentinel
+  bilateral = mu > 1e6
   return jnp.where(
-      stick_ok, lam_stick, jnp.where(open_ok, jnp.zeros(3, dtype), lam_slip)
+      stick_ok | bilateral, lam_stick,
+      jnp.where(open_ok, jnp.zeros(3, dtype), lam_slip)
   )
 
 

@@ -48,6 +48,24 @@ def _tile_for(nc: int) -> int:
   return 128 if nc > 16 else 256
 
 
+def _stick_vec(g, c):
+  """lam = -Gii^{-1} c on lane vectors (cofactor inverse of the 3x3 SPD block)."""
+  g00, g01, g02, g11, g12, g22 = g
+  c0, c1, c2 = c
+  k00 = g11 * g22 - g12 * g12
+  k01 = g02 * g12 - g01 * g22
+  k02 = g01 * g12 - g02 * g11
+  k11 = g00 * g22 - g02 * g02
+  k12 = g01 * g02 - g00 * g12
+  k22 = g00 * g11 - g01 * g01
+  det = g00 * k00 + g01 * k01 + g02 * k02
+  inv_det = 1.0 / (det + 1e-20)
+  ls0 = -(k00 * c0 + k01 * c1 + k02 * c2) * inv_det
+  ls1 = -(k01 * c0 + k11 * c1 + k12 * c2) * inv_det
+  ls2 = -(k02 * c0 + k12 * c1 + k22 * c2) * inv_det
+  return ls0, ls1, ls2
+
+
 def _cone_solve_vec(g, c, mu, n_grid, dtype):
   """Vectorized exact cone solve on (T,) lane vectors.
 
@@ -61,19 +79,10 @@ def _cone_solve_vec(g, c, mu, n_grid, dtype):
   T = c0.shape[-1]
 
   # --- stick: lam = -Gii^{-1} c (cofactor inverse) ---
-  k00 = g11 * g22 - g12 * g12
-  k01 = g02 * g12 - g01 * g22
-  k02 = g01 * g12 - g02 * g11
-  k11 = g00 * g22 - g02 * g02
-  k12 = g01 * g02 - g00 * g12
-  k22 = g00 * g11 - g01 * g01
-  det = g00 * k00 + g01 * k01 + g02 * k02
-  inv_det = 1.0 / (det + 1e-20)
-  ls0 = -(k00 * c0 + k01 * c1 + k02 * c2) * inv_det
-  ls1 = -(k01 * c0 + k11 * c1 + k12 * c2) * inv_det
-  ls2 = -(k02 * c0 + k12 * c1 + k22 * c2) * inv_det
+  ls0, ls1, ls2 = _stick_vec(g, c)
   t_norm = jnp.sqrt(ls0 * ls0 + ls1 * ls1 + 1e-20)
-  stick_ok = (ls2 > 0.0) & (t_norm <= mu * ls2)
+  # mu > 1e6 is the BILATERAL sentinel (ops/constraints.py): always stick
+  stick_ok = ((ls2 > 0.0) & (t_norm <= mu * ls2)) | (mu > 1e6)
 
   # --- open ---
   open_ok = c2 >= 0.0
@@ -148,7 +157,7 @@ def _cone_solve_vec(g, c, mu, n_grid, dtype):
 
 
 def _solver_kernel(G_ref, c_ref, mu_ref, act_ref, lam_ref, lam_scr, *,
-                   nc, sweeps, n_grid, dtype):
+                   nc, sweeps, n_grid, dtype, kinds=()):
   """One batch tile: full Gauss-Seidel solve in VMEM.
 
   Blocks: G (3, 3, nc, nc, T) with G[a,b,i,j] = frame-a/frame-b coupling of contacts
@@ -182,10 +191,25 @@ def _solver_kernel(G_ref, c_ref, mu_ref, act_ref, lam_ref, lam_scr, *,
 
   def sweep_body(_, carry):
     for i in range(nc):
+      kind = kinds[i] if kinds else "cone"
       onehot, keep = onehots[i], keeps[i]
       g = Gii_all[i]
       g_mat = ((g[0], g[1], g[2]), (g[1], g[3], g[4]), (g[2], g[4], g[5]))
       lam_b = (lam_scr[0], lam_scr[1], lam_scr[2])           # (nc, T) each
+
+      if kind == "lin":
+        # frictionless unilateral row (joint limit / wire): lam = (0, 0, lam_n),
+        # lam_n = max(0, -c_n / G_nn) — a handful of FMAs, no cone search. The
+        # row's tangent lanes stay zero, so only the normal residual is needed.
+        lam_i2 = jnp.sum(lam_b[2] * onehot, axis=0)
+        tot = ci0_all[i][2]
+        for b in range(3):
+          tot = tot + jnp.sum(G_ref[2, b, i] * lam_b[b], axis=0)
+        c2 = tot - g[5] * lam_i2                             # g22 = g[5]
+        ln2 = jnp.maximum(-c2 / (g[5] + 1e-20), 0.0)
+        lam_scr[2, :, :] = lam_b[2] * keep + onehot * (ln2 * act_all[i])[None, :]
+        continue
+
       lam_i = tuple(jnp.sum(lb * onehot, axis=0) for lb in lam_b)  # (T,) x3
 
       # residual c_i + sum_{j != i} G_ij lam_j
@@ -197,7 +221,11 @@ def _solver_kernel(G_ref, c_ref, mu_ref, act_ref, lam_ref, lam_scr, *,
           tot = tot + jnp.sum(G_ref[a, b, i] * lam_b[b], axis=0)
         ci.append(tot - diag_a)
 
-      ln = _cone_solve_vec(g, tuple(ci), mu_all[i], n_grid, dtype)
+      if kind == "bilateral":
+        # pin triplet: exact equality solve, no cone cases
+        ln = _stick_vec(g, tuple(ci))
+      else:
+        ln = _cone_solve_vec(g, tuple(ci), mu_all[i], n_grid, dtype)
 
       # masked full-tile blend write-back (no sub-tile stores)
       lam_scr[0, :, :] = lam_b[0] * keep + onehot * (ln[0] * act_all[i])[None, :]
@@ -212,6 +240,29 @@ def _solver_kernel(G_ref, c_ref, mu_ref, act_ref, lam_ref, lam_scr, *,
 def _solve_batch_impl(G, c0, mu, active, config: ct.SolverConfig):
   B, nc = c0.shape[0], c0.shape[1]
   dtype = c0.dtype
+
+  # Pad the contact-row dim to a sublane multiple (8): every tiled block keeps
+  # (nc, T) as its trailing dims, and Mosaic lowers aligned sublane tiles
+  # orders-of-magnitude faster than ragged ones (measured: nc=28 compile blew
+  # past 15 min; nc=32 is seconds). Pad rows are inert: identity diagonal,
+  # active=0, kind "lin" (the cheapest row body).
+  nc_orig = nc
+  kinds = config.row_kinds
+  pad_rows = (-nc) % 8
+  if pad_rows:
+    m = nc + pad_rows
+    Gp = jnp.zeros((B, m, 3, m, 3), dtype)
+    Gp = Gp.at[:, :nc, :, :nc, :].set(G)
+    eye3 = jnp.eye(3, dtype=dtype)
+    idx = jnp.arange(nc, m)
+    Gp = Gp.at[:, idx, :, idx, :].set(eye3[None, None])
+    G = Gp
+    c0 = jnp.pad(c0, ((0, 0), (0, pad_rows), (0, 0)))
+    mu = jnp.pad(mu, ((0, 0), (0, pad_rows)))
+    active = jnp.pad(active, ((0, 0), (0, pad_rows)))
+    kinds = (kinds or ("cone",) * nc_orig) + ("lin",) * pad_rows
+    nc = m
+
   tile = _tile_for(nc)
 
   # (B, i, a, j, b) -> (a, b, i, j, B): frame components lead, (nc, B) trail
@@ -232,9 +283,11 @@ def _solve_batch_impl(G, c0, mu, active, config: ct.SolverConfig):
     mut = jnp.pad(mut, ((0, 0), (0, pad)))
     att = jnp.pad(att, ((0, 0), (0, pad)))
 
+  if kinds:
+    assert len(kinds) == nc, (kinds, nc)
   kernel = functools.partial(
       _solver_kernel, nc=nc, sweeps=config.sweeps, n_grid=config.n_grid,
-      dtype=dtype)
+      dtype=dtype, kinds=kinds)
   lam = pl.pallas_call(
       kernel,
       # interpret mode lets the same code path run under the CPU test harness
@@ -254,7 +307,7 @@ def _solve_batch_impl(G, c0, mu, active, config: ct.SolverConfig):
       scratch_shapes=[pltpu.VMEM((3, nc, tile), dtype)],
   )(Gt, ctv, mut, att)
 
-  return jnp.transpose(lam[:, :, :B], (2, 1, 0))     # (B, nc, 3)
+  return jnp.transpose(lam[:, :nc_orig, :B], (2, 1, 0))   # (B, nc, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from raisimlib_tpu.ops import collision as coll
+from raisimlib_tpu.ops import constraints as cs
 from raisimlib_tpu.ops import contact as ct
 from raisimlib_tpu.ops import dynamics
 from raisimlib_tpu.ops import linalg
@@ -118,20 +119,60 @@ def _pre_solve(
   kin = dynamics.fk(model, q, u)
   contacts = coll.collide(scene.geoms, scene.pairs, kin, getattr(scene, "field", None))
   nc = contacts.depth.shape[0]
+  tabs = getattr(scene, "constraints", None) or cs.EMPTY
 
   # --- smooth dynamics quantities ---
   # crba_w (einsum CRBA, reusing FK products) + trace-time-unrolled Cholesky:
   # the scatter CRBA + XLA batched Cholesky were ~80% of the step (ops/linalg.py).
   M = dynamics.crba_w(model, q, kin) + dt * jnp.diag(D)
-  h = dynamics.nonlinearities(model, q, u, scene.gravity)
+  f_ext = (cs.compliant_forces(model, tabs, kin, u, dtype)
+           if tabs.compliant else None)
+  h = dynamics.nonlinearities(model, q, u, scene.gravity, f_ext)
   L = linalg.chol(M)
 
-  # --- contact frames + Jacobians ---
-  Jc = contact_jacobians(model, kin, contacts)            # (nc, 3, nv)
-  t1t2 = [_tangent_basis(contacts.normal[k]) for k in range(nc)]
-  C = jnp.stack(
-      [jnp.stack([t1, t2, contacts.normal[k]]) for k, (t1, t2) in enumerate(t1t2)]
-  )                                                        # (nc, 3, 3) rows t1,t2,n
+  # --- contact frames + Jacobians (nc can be 0: constraints-only scenes) ---
+  if nc > 0:
+    Jc = contact_jacobians(model, kin, contacts)          # (nc, 3, nv)
+    t1t2 = [_tangent_basis(contacts.normal[k]) for k in range(nc)]
+    C = jnp.stack(
+        [jnp.stack([t1, t2, contacts.normal[k]]) for k, (t1, t2) in enumerate(t1t2)]
+    )                                                      # (nc, 3, 3) rows t1,t2,n
+
+    # --- contact bias: restitution + Baumgarte (reference: materials C11) ---
+    mats = scene.materials  # (n_mat, n_mat, 3): mu, restitution, threshold
+    mu = jnp.stack([mats[contacts.mat_a[k], contacts.mat_b[k], 0] for k in range(nc)])
+    e = jnp.stack([mats[contacts.mat_a[k], contacts.mat_b[k], 1] for k in range(nc)])
+    thresh = jnp.stack(
+        [mats[contacts.mat_a[k], contacts.mat_b[k], 2] for k in range(nc)])
+
+    v_pre_c = jnp.einsum("ipq,iqv,v->ip", C, Jc, u)        # pre-impact, contact frames
+    vn_pre = v_pre_c[:, 2]
+    b_rest = jnp.where(vn_pre < -thresh, -e * vn_pre, 0.0)
+    b_baum = jnp.minimum(
+        config.erp * jnp.maximum(contacts.depth - config.slop, 0.0) / dt,
+        config.max_correction_vel,
+    )
+    b = jnp.maximum(b_rest, b_baum)                        # desired v_n+ >= b
+    bias = b[:, None] * jnp.array([0.0, 0.0, 1.0], dtype)[None, :]
+    active = contacts.active.astype(dtype)
+  else:
+    Jc = jnp.zeros((0, 3, model.nv), dtype)
+    C = jnp.zeros((0, 3, 3), dtype)
+    bias = jnp.zeros((0, 3), dtype)
+    mu = jnp.zeros((0,), dtype)
+    active = jnp.zeros((0,), dtype)
+
+  # --- constraint rows: joint limits / wires / pins (ops/constraints.py) ---
+  if tabs.n_rows:
+    Jx, bx, mux, actx = cs.constraint_rows(
+        model, tabs, kin, q, u, dt, config.erp, config.max_correction_vel, dtype)
+    Jc = jnp.concatenate([Jc, Jx], axis=0)
+    C = jnp.concatenate(
+        [C, jnp.broadcast_to(jnp.eye(3, dtype=dtype), (tabs.n_rows, 3, 3))], axis=0)
+    bias = jnp.concatenate([bias, bx], axis=0)
+    mu = jnp.concatenate([mu, mux], axis=0)
+    active = jnp.concatenate([active, actx], axis=0)
+    nc = nc + tabs.n_rows
 
   Jf = Jc.reshape(nc * 3, model.nv)
   # One fused pair of triangular sweeps for both solves:
@@ -144,26 +185,20 @@ def _pre_solve(
   Gw = (Jf @ MinvJT).reshape(nc, 3, nc, 3)
   G = jnp.einsum("ipq,iqjr,jsr->ipjs", C, Gw, C)
 
-  # free + pre-impact contact velocities in local frames
   v_free_c = jnp.einsum("ipq,iqv,v->ip", C, Jc, v_free)
-  v_pre_c = jnp.einsum("ipq,iqv,v->ip", C, Jc, u)
+  c0 = v_free_c - bias
 
-  # --- normal-velocity bias: restitution + Baumgarte (reference: materials C11) ---
-  mats = scene.materials  # (n_mat, n_mat, 3): mu, restitution, threshold
-  mu = jnp.stack([mats[contacts.mat_a[k], contacts.mat_b[k], 0] for k in range(nc)])
-  e = jnp.stack([mats[contacts.mat_a[k], contacts.mat_b[k], 1] for k in range(nc)])
-  thresh = jnp.stack([mats[contacts.mat_a[k], contacts.mat_b[k], 2] for k in range(nc)])
+  return (G, c0, mu, active), (C, MinvJT, v_free)
 
-  vn_pre = v_pre_c[:, 2]
-  b_rest = jnp.where(vn_pre < -thresh, -e * vn_pre, 0.0)
-  b_baum = jnp.minimum(
-      config.erp * jnp.maximum(contacts.depth - config.slop, 0.0) / dt,
-      config.max_correction_vel,
-  )
-  b = jnp.maximum(b_rest, b_baum)                          # desired v_n+ >= b
-  c0 = v_free_c - b[:, None] * jnp.array([0.0, 0.0, 1.0], dtype)[None, :]
 
-  return (G, c0, mu, contacts.active), (C, MinvJT, v_free)
+def scene_row_kinds(scene) -> tuple:
+  """Static ("cone" | "lin" | "bilateral") kind per solver row — contacts first,
+  then constraint rows in ops/constraints.py order. Trace-time only; the Pallas
+  kernel specializes its per-row update on these."""
+  # collide() emits one inert slot when the scene has no candidate pairs
+  nc = max(coll.num_contact_slots(scene.geoms, scene.pairs), 1)
+  tabs = getattr(scene, "constraints", None) or cs.EMPTY
+  return ("cone",) * nc + tabs.row_kinds
 
 
 def _post_solve(scene, state: State, ctx, lam_loc) -> State:
@@ -210,7 +245,8 @@ def step_batch(
   )
   solver_in, ctx = pre(state, tau, pd_target)
   G, c0, mu, active = solver_in
-  lam = pallas_contact.solve_contacts_batch(G, c0, mu, active, config.solver)
+  solver_cfg = config.solver.replace(row_kinds=scene_row_kinds(scene))
+  lam = pallas_contact.solve_contacts_batch(G, c0, mu, active, solver_cfg)
   return jax.vmap(lambda s, c, l: _post_solve(scene, s, c, l))(state, ctx, lam)
 
 

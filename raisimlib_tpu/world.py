@@ -71,6 +71,9 @@ class World:
     self._materials: List[tuple] = [(0.8, 0.0, 0.001)]  # (mu, restitution, threshold)
     self._pair_props: dict = {}         # (mat_a, mat_b) -> (mu, e, threshold)
     self._field = None                  # HeightField (at most one per world, as RaiSim)
+    self._wires: List = []              # stiff wires (solver rows, SURVEY.md C8)
+    self._pins: List = []               # pin constraints (bilateral row triplets)
+    self._compliant: List = []          # compliant wires (force elements)
     self._nq = 0
     self._nv = 0
 
@@ -198,14 +201,51 @@ class World:
     self._geoms.append(_GeomSpec(-1, GEOM_HEIGHTMAP, np.zeros(4),
                                  np.zeros(3), np.eye(3), material))
 
+  # -- constraints (RaiSim wires/pins, SURVEY.md C8) ----------------------
+  def add_stiff_wire(self, body_a: int, pos_a, body_b: int, pos_b,
+                     length: float) -> None:
+    """Inextensible cable between two body-local points (`World::addStiffWire`):
+    a unilateral tension row in the contact solver — resists stretch, never
+    pushes. body index -1 anchors to the world (pos in world coords)."""
+    from raisimlib_tpu.ops.constraints import WireSpec
+
+    self._wires.append(WireSpec(int(body_a), tuple(map(float, pos_a)),
+                                int(body_b), tuple(map(float, pos_b)),
+                                float(length)))
+
+  def add_compliant_wire(self, body_a: int, pos_a, body_b: int, pos_b,
+                         length: float, stiffness: float,
+                         damping: float = 0.0) -> None:
+    """Spring-damper cable (`CompliantLengthConstraint`): a force element folded
+    into the bias term, not a solver row. Tension-only (cables cannot push)."""
+    from raisimlib_tpu.ops.constraints import CompliantWireSpec
+
+    self._compliant.append(CompliantWireSpec(
+        int(body_a), tuple(map(float, pos_a)), int(body_b),
+        tuple(map(float, pos_b)), float(length), float(stiffness),
+        float(damping)))
+
+  def add_pin(self, body_a: int, pos_a, body_b: int, pos_b) -> None:
+    """Ball-joint (`PinConstraint`): coincident body-local points, enforced as a
+    bilateral row triplet in the solver. body index -1 pins to the world."""
+    from raisimlib_tpu.ops.constraints import PinSpec
+
+    self._pins.append(PinSpec(int(body_a), tuple(map(float, pos_a)),
+                              int(body_b), tuple(map(float, pos_b))))
+
   # -- compile -----------------------------------------------------------
-  def compile(self) -> "Scene":
+  def compile(self, joint_limits: bool = True) -> "Scene":
+    """Freeze to a Scene. `joint_limits=True` (default, matching the reference)
+    adds one unilateral solver row per dof with a finite URDF position limit."""
     from raisimlib_tpu.ops import collision as coll
+    from raisimlib_tpu.ops import constraints as cs
 
     model = build_model("scene", self._bodies, dtype=self.dtype)
     geom_table = coll.build_geom_table(self._geoms, dtype=self.dtype)
     pairs = coll.candidate_pairs(self._geoms, model, self.self_collision)
     materials = jnp.asarray(self._material_pair_table(), dtype=self.dtype)
+    tables = cs.build_tables(model, joint_limits, wires=self._wires,
+                             pins=self._pins, compliant=self._compliant)
     return Scene(
         model=model,
         geoms=geom_table,
@@ -216,6 +256,7 @@ class World:
         kp=jnp.zeros((model.nv,), dtype=self.dtype),
         kd=jnp.zeros((model.nv,), dtype=self.dtype),
         field=self._field,
+        constraints=tables,
     )
 
 
@@ -232,6 +273,7 @@ class Scene:
   kp: jnp.ndarray = None          # (nv,) PD stiffness (0 disables)
   kd: jnp.ndarray = None          # (nv,) PD damping
   field: Any = None               # HeightField terrain, or None
+  constraints: Any = struct.field(pytree_node=False, default=None)  # ConstraintTables
 
   def init_state(self, q=None, u=None) -> State:
     return integrator.init_state(self.model, q, u)

@@ -87,7 +87,7 @@ class TestStepBatchParity:
 
     B = 8
     q0 = jnp.tile(scene.model.q_init[None], (B, 1))
-    q0 = q0.at[:, 2].add(jnp.linspace(0, 0.05, B))
+    q0 = q0.at[:, 2].add(jnp.linspace(0, 0.05, B, dtype=q0.dtype))
     s = jax.vmap(scene.init_state)(q0)
     tau = jnp.zeros((B, scene.model.nv), jnp.float32)
 

@@ -48,7 +48,7 @@ class TestShardedRollout:
 
     B, H = 16, 40
     q0 = jnp.tile(scene.model.q_init[None], (B, 1))
-    q0 = q0.at[:, 2].set(jnp.linspace(0.15, 0.5, B))
+    q0 = q0.at[:, 2].set(jnp.linspace(0.15, 0.5, B, dtype=jnp.float32))
     s0 = State(q=q0, u=jnp.zeros((B, scene.model.nv), jnp.float32),
                t=jnp.zeros((B,), jnp.float32))
     taus = jnp.zeros((B, H, scene.model.nv), jnp.float32)
