@@ -15,40 +15,78 @@ bench_metrics.jsonl via utils/metrics (SURVEY.md §5 observability).
 """
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 ROLLOUT_TARGET = 10_000.0  # BASELINE.json:5 rollouts/s/chip on this config
 
 
+def _note(msg):
+  print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
+        flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def _balance_scene(dtype=jnp.float32, dt=0.0025):
+  """Build the graded ANYmal balance scene ON THE HOST CPU device.
+
+  Everything returned here becomes a closure constant of the jitted bench
+  functions; keeping it on CPU makes jit tracing embed it from host memory
+  instead of issuing blocking device->host readbacks against the remote TPU
+  (see World.compile's docstring — this was the round-2 bench's multi-minute
+  setup stall and a variance source)."""
   from raisimlib_tpu.models import anymal
   from raisimlib_tpu.models.urdf import load_urdf
   from raisimlib_tpu.world import World
 
-  bodies, geoms, _ = load_urdf(anymal.anymal_urdf())
-  world = World(dt=dt, dtype=dtype)
-  world.add_articulated_system(bodies, name="anymal", geoms=geoms)
-  world.add_ground()
-  scene = world.compile().set_pd_gains(100.0, 2.0)
-  q0 = jnp.asarray(anymal.standing_q(), dtype)
+  with jax.default_device(jax.devices("cpu")[0]):
+    bodies, geoms, _ = load_urdf(anymal.anymal_urdf())
+    world = World(dt=dt, dtype=dtype)
+    world.add_articulated_system(bodies, name="anymal", geoms=geoms)
+    world.add_ground()
+    scene = world.compile().set_pd_gains(100.0, 2.0)
+    q0 = jnp.asarray(anymal.standing_q(), dtype)
   return scene, q0
+
+
+def _host_key(seed: int, n: int | None = None):
+  """PRNG key(s) built on CPU, returned as numpy (uncommitted jit args)."""
+  with jax.default_device(jax.devices("cpu")[0]):
+    k = jax.random.PRNGKey(seed)
+    if n is not None:
+      k = jax.random.split(k, n)
+    return np.asarray(k)
 
 
 def bench_anymal_rollouts(B=2048, H=50, dtype=jnp.float32):
   """Batched contact-implicit rollouts/s: B ANYmal worlds x H physics steps."""
   from raisimlib_tpu.ops import pipeline
 
+  _note("rollouts: building scene")
   scene, q0 = _balance_scene(dtype)
-  s0 = scene.init_state(q=q0)
-  key = jax.random.PRNGKey(0)
-  dq = 0.02 * jax.random.normal(key, (B, scene.model.nq), dtype)
-  states = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
-  states = states.replace(q=states.q + dq)
-  pd_full = jnp.zeros((B, scene.model.nv), dtype).at[:, 6:].set(q0[7:][None])
-  tau0 = jnp.zeros((B, scene.model.nv), dtype)
+  with jax.default_device(jax.devices("cpu")[0]):
+    s0 = scene.init_state(q=q0)
+
+  # ALL setup math inside one jit: the axon backend remote-compiles each
+  # un-jitted op individually (see .claude/skills/verify/SKILL.md)
+  @jax.jit
+  def setup(key):
+    dq = 0.02 * jax.random.normal(key, (B, scene.model.nq), dtype)
+    states = jax.tree.map(lambda x: jnp.broadcast_to(x, (B,) + x.shape), s0)
+    states = states.replace(q=states.q + dq)
+    pd_full = jnp.zeros((B, scene.model.nv), dtype).at[:, 6:].set(q0[7:][None])
+    tau0 = jnp.zeros((B, scene.model.nv), dtype)
+    return states, pd_full, tau0
+
+  states, pd_full, tau0 = setup(_host_key(0))
+  _note("rollouts: setup done, compiling rollout")
 
   @jax.jit
   def run(states):
@@ -59,28 +97,21 @@ def bench_anymal_rollouts(B=2048, H=50, dtype=jnp.float32):
     return out.q
 
   run(states).block_until_ready()  # compile
+  _note("rollouts: compiled, timing")
   times = []
   for _ in range(3):
     t0 = time.perf_counter()
     run(states).block_until_ready()
     times.append(time.perf_counter() - t0)
   t = min(times)
-  return {"rollouts_per_s": B / t, "steps_per_s": B * H / t, "B": B, "H": H}
+  spread = 100.0 * (max(times) - min(times)) / min(times)
+  return {"rollouts_per_s": B / t, "steps_per_s": B * H / t, "B": B, "H": H,
+          "spread_pct": round(spread, 1)}
 
 
-def bench_anymal_mpc(n_env=16, H=50, K=128, updates=4, dtype=jnp.float32):
-  """MPC solves/s: one solve = one MPPI receding-horizon update (K samples, H steps).
-
-  n_env independent balance problems solve in parallel (vmap); `updates`
-  sequential warm-started solves per env measure the steady receding-horizon
-  rate, which is what a controller ticking at 100 Hz actually consumes.
-  """
-  from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step
-  from raisimlib_tpu.mpc.state_map import make_contact_dyn, state_to_vec
+def _balance_cost(scene, q0, dtype):
   from raisimlib_tpu.ops.spatial import quat_box_minus
 
-  scene, q0 = _balance_scene(dtype)
-  dyn, nx, nu = make_contact_dyn(scene, control_dt=0.01, substeps=4, use_pd=True)
   q_stand = q0[7:]
   z0 = q0[2]
   quat_id = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
@@ -96,30 +127,55 @@ def bench_anymal_mpc(n_env=16, H=50, K=128, updates=4, dtype=jnp.float32):
     q, v = x[:19], x[19:]
     return 200.0 * (q[2] - z0) ** 2 + 5.0 * jnp.sum(v[:6] ** 2)
 
-  s0 = scene.init_state(q=q0)
-  x0 = state_to_vec(s0)
-  key = jax.random.PRNGKey(1)
-  x0s = jnp.tile(x0[None], (n_env, 1)).at[:, 19 + 4].add(
-      0.1 * jax.random.normal(key, (n_env,), dtype))        # lateral pushes
-  U0s = jnp.tile(q_stand[None, None, :], (n_env, H, 1))
+  return rc, fc, q_stand
+
+
+def bench_anymal_mpc(n_env=16, H=50, K=128, updates=4, dtype=jnp.float32):
+  """MPC solves/s: one solve = one MPPI receding-horizon update (K samples, H
+  control steps, 4 physics substeps each).
+
+  All n_env * K sample rollouts run as ONE physics batch through
+  `scene.step_batch` (mppi_step_batch + make_contact_dyn_batch) — the Pallas
+  lane-axis path, the round-3 fix for round 2's 2.86 solves/s (whose sample
+  rollouts vmapped the slow per-world solver chain). `updates` sequential
+  warm-started solves measure the steady receding-horizon rate.
+  """
+  from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step_batch
+  from raisimlib_tpu.mpc.state_map import make_contact_dyn_batch, state_to_vec
+
+  _note("mpc: building scene")
+  scene, q0 = _balance_scene(dtype)
+  dyn_b, nx, nu = make_contact_dyn_batch(scene, control_dt=0.01, substeps=4,
+                                         use_pd=True)
+  rc, fc, q_stand = _balance_cost(scene, q0, dtype)
+
+  with jax.default_device(jax.devices("cpu")[0]):
+    s0 = scene.init_state(q=q0)
+    x0 = state_to_vec(s0)
+  key = _host_key(1)
   cfg = MPPIConfig(n_samples=K, sigma=0.1, temperature=0.3)
 
   @jax.jit
-  def run(x0s, U0s, key):
-    def one_update(Us, k):
-      ks = jax.random.split(k, n_env)
-      sols = jax.vmap(lambda x0, U, kk: mppi_step(dyn, rc, fc, x0, U, kk, cfg))(
-          x0s, Us, ks)
-      return sols.U, sols.cost
+  def setup(key):
+    x0s = jnp.tile(x0[None], (n_env, 1)).at[:, 19 + 4].add(
+        0.1 * jax.random.normal(key, (n_env,), dtype))      # lateral pushes
+    U0s = jnp.tile(q_stand[None, None, :], (n_env, H, 1))
+    return x0s, U0s
 
-    def body(carry, k):
-      Us, _ = one_update(carry, k)
-      return Us, None
+  x0s, U0s = setup(key)
+  _note("mpc: setup done, compiling solve")
+
+  @jax.jit
+  def run(x0s, U0s, key):
+    def body(Us, k):
+      sol = mppi_step_batch(dyn_b, rc, fc, x0s, Us, k, cfg)
+      return sol.U, None
 
     Us, _ = jax.lax.scan(body, U0s, jax.random.split(key, updates))
     return Us
 
   run(x0s, U0s, key).block_until_ready()  # compile
+  _note("mpc: compiled, timing")
   times = []
   for _ in range(2):
     t0 = time.perf_counter()
@@ -128,6 +184,53 @@ def bench_anymal_mpc(n_env=16, H=50, K=128, updates=4, dtype=jnp.float32):
   t = min(times)
   return {"mpc_solves_per_s": n_env * updates / t, "n_env": n_env, "K": K,
           "updates": updates}
+
+
+def bench_anymal_mpc_realtime(K=64, H=50, updates=8, control_dt=0.01,
+                              dtype=jnp.float32):
+  """Real-time MPC budget (BASELINE.json:5 'meets its real-time MPC budget').
+
+  THE BUDGET, pinned: a receding-horizon controller ticking at 100 Hz must
+  finish ONE MPPI plan update — K=64 sampled rollouts over the full H=50-step
+  horizon — within its control period of 10 ms. The planning model here uses
+  one physics step per control step (dt = control_dt = 10 ms), the standard
+  MPC coarse-prediction-model setup (the simulated plant keeps dt=2.5 ms x 4
+  substeps; bench_anymal_mpc measures that heavier throughput config).
+  Reports per-update latency and realtime_ok = (latency <= control_dt).
+  """
+  from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step_batch
+  from raisimlib_tpu.mpc.state_map import make_contact_dyn_batch, state_to_vec
+
+  _note("mpc_rt: building scene")
+  scene, q0 = _balance_scene(dtype, dt=control_dt)
+  dyn_b, nx, nu = make_contact_dyn_batch(scene, control_dt=control_dt,
+                                         substeps=1, use_pd=True)
+  rc, fc, q_stand = _balance_cost(scene, q0, dtype)
+
+  with jax.default_device(jax.devices("cpu")[0]):
+    s0 = scene.init_state(q=q0)
+    x0s = state_to_vec(s0)[None]
+    U0s = jnp.tile(q_stand[None, None, :], (1, H, 1))
+  cfg = MPPIConfig(n_samples=K, sigma=0.1, temperature=0.3)
+
+  @jax.jit
+  def one_update(x0s, Us, k):
+    return mppi_step_batch(dyn_b, rc, fc, x0s, Us, k, cfg).U
+
+  keys = _host_key(2, n=updates + 1)
+  _note("mpc_rt: compiling update")
+  Us = one_update(x0s, U0s, keys[-1])
+  Us.block_until_ready()  # compile
+  _note("mpc_rt: compiled, timing")
+  lat = []
+  for i in range(updates):
+    t0 = time.perf_counter()
+    Us = one_update(x0s, Us, keys[i])
+    Us.block_until_ready()
+    lat.append(time.perf_counter() - t0)
+  lat_ms = 1000.0 * float(np.median(lat))
+  return {"mpc_update_latency_ms": lat_ms, "budget_ms": 1000.0 * control_dt,
+          "realtime_ok": bool(lat_ms <= 1000.0 * control_dt), "K": K, "H": H}
 
 
 if __name__ == "__main__":
@@ -140,6 +243,11 @@ if __name__ == "__main__":
     metrics.emit("bench_mpc", path="bench_metrics.jsonl", **mpc)
   except Exception as e:  # rollouts/s is the graded headline; never lose it
     mpc = {"mpc_solves_per_s": None, "error": repr(e)[:200]}
+  try:
+    rt = bench_anymal_mpc_realtime()
+    metrics.emit("bench_mpc_realtime", path="bench_metrics.jsonl", **rt)
+  except Exception as e:
+    rt = {"realtime_ok": None, "error": repr(e)[:200]}
   print(json.dumps({
       "metric": "anymal_contact_rollouts_per_s_per_chip",
       "value": round(roll["rollouts_per_s"], 1),
@@ -148,7 +256,12 @@ if __name__ == "__main__":
       "extra": {
           "mpc_solves_per_s": (round(mpc["mpc_solves_per_s"], 2)
                                if mpc.get("mpc_solves_per_s") else None),
+          "mpc_update_latency_ms": (round(rt["mpc_update_latency_ms"], 2)
+                                    if rt.get("mpc_update_latency_ms") else None),
+          "mpc_budget_ms": rt.get("budget_ms"),
+          "realtime_ok": rt.get("realtime_ok"),
           "steps_per_s": round(roll["steps_per_s"], 0),
+          "rollouts_spread_pct": roll.get("spread_pct"),
           "batch": roll["B"],
           "horizon": roll["H"],
       },

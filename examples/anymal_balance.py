@@ -17,8 +17,9 @@ import jax.numpy as jnp
 def run(smoke: bool = False, metrics_path: str = "metrics/anymal_balance.jsonl"):
   from raisimlib_tpu.models import anymal
   from raisimlib_tpu.models.urdf import load_urdf
-  from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step
-  from raisimlib_tpu.mpc.state_map import make_contact_dyn, state_to_vec, vec_to_state
+  from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step_batch
+  from raisimlib_tpu.mpc.state_map import (make_contact_dyn_batch, state_to_vec,
+                                           vec_to_state)
   from raisimlib_tpu.ops.spatial import quat_box_minus
   from raisimlib_tpu.utils import metrics
   from raisimlib_tpu.world import World
@@ -32,7 +33,9 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_balance.jsonl")
   scene = world.compile().set_pd_gains(100.0, 2.0)
 
   q0 = jnp.asarray(anymal.standing_q(), dtype)
-  dyn, nx, nu = make_contact_dyn(scene, control_dt, substeps, use_pd=True)
+  # batched dynamics: the K-sample MPPI population rides the Pallas kernel's
+  # lane axis (scene.step_batch) — the MPC throughput path (round-3 rewire)
+  dyn_b, nx, nu = make_contact_dyn_batch(scene, control_dt, substeps, use_pd=True)
   q_stand = q0[7:]
   z0 = q0[2]
   quat_id = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
@@ -66,25 +69,37 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_balance.jsonl")
 
     def tick(carry, k):
       x, U = carry
-      sol = mppi_step(dyn, rc, fc, x, U, k, cfg)
-      x2 = dyn(x, sol.U[0], 0)
-      U_warm = jnp.concatenate([sol.U[1:], sol.U[-1:]])
-      return (x2, U_warm), (x2[2], sol.cost)
+      sol = mppi_step_batch(dyn_b, rc, fc, x[None], U[None], k, cfg)
+      Un = sol.U[0]
+      x2 = dyn_b(x[None], Un[0][None], 0)[0]
+      U_warm = jnp.concatenate([Un[1:], Un[-1:]])
+      return (x2, U_warm), (x2, sol.cost[0])
 
     keys = jax.random.split(key, n_ticks)
-    (xf, _), (zs, costs) = jax.lax.scan(tick, (x0, U0), keys)
-    return xf, zs, costs
+    (xf, _), (xs, costs) = jax.lax.scan(tick, (x0, U0), keys)
+    return xf, xs, costs
 
   x0 = state_to_vec(s_pushed)
   U0 = jnp.tile(q_stand[None], (H, 1))
   t0 = time.perf_counter()
-  xf, zs, costs = mpc_rollout(x0, U0, jax.random.PRNGKey(0))
+  xf, xs, costs = mpc_rollout(x0, U0, jax.random.PRNGKey(0))
   jax.block_until_ready(xf)
   compile_s = time.perf_counter() - t0
   t0 = time.perf_counter()
-  xf, zs, costs = mpc_rollout(x0, U0, jax.random.PRNGKey(0))
+  xf, xs, costs = mpc_rollout(x0, U0, jax.random.PRNGKey(0))
   jax.block_until_ready(xf)
   wall_s = time.perf_counter() - t0
+  zs = xs[:, 2]
+
+  # replayable recovery trajectory (SURVEY.md C14):
+  # view with  python examples/replay.py metrics/anymal_balance_traj.npz
+  from raisimlib_tpu.utils import trajectory
+  import numpy as np
+
+  nq = scene.model.nq
+  traj = trajectory.from_states(scene, np.asarray(xs[:, :nq]),
+                                np.asarray(xs[:, nq:]), dt=control_dt)
+  trajectory.save("metrics/anymal_balance_traj.npz", traj)
 
   # passive comparison: PD hold only, no MPC
   @jax.jit
@@ -118,6 +133,9 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_balance.jsonl")
 
 
 if __name__ == "__main__":
+  from raisimlib_tpu.utils.platform import apply_env_platform
+
+  apply_env_platform()  # RAISIM_PLATFORM=cpu forces the CPU backend (smoke CI)
   ap = argparse.ArgumentParser()
   ap.add_argument("--smoke", action="store_true")
   run(smoke=ap.parse_args().smoke)

@@ -106,12 +106,12 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
       sol = mppi_step(dyn, rc, fc, x, base + dU, k, cfg)
       x2 = dyn(x, sol.U[0], 0)
       dU2 = jnp.concatenate([sol.U[1:] - base[1:], sol.U[-1:] - base[-1:]])
-      return (x2, dU2), x2[:3]
+      return (x2, dU2), x2
 
     keys = jax.random.split(key, n_ticks)
     ms = jnp.arange(n_ticks)
-    (xf, _), ps = jax.lax.scan(tick, (x0, jnp.zeros((H, 12), dtype)), (keys, ms))
-    return xf, ps
+    (xf, _), xs = jax.lax.scan(tick, (x0, jnp.zeros((H, 12), dtype)), (keys, ms))
+    return xf, xs
 
   keys = jax.random.split(jax.random.PRNGKey(7), n_terrains)
   tkeys = jax.random.split(jax.random.PRNGKey(11), n_terrains)
@@ -122,16 +122,26 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
 
   batched = jax.jit(jax.vmap(trot_on_terrain))
   t0 = time.perf_counter()
-  xf, ps = batched(heights, keys)
+  xf, xs = batched(heights, keys)
   jax.block_until_ready(xf)
   compile_s = time.perf_counter() - t0
   t0 = time.perf_counter()
-  xf, ps = batched(heights, keys)
+  xf, xs = batched(heights, keys)
   jax.block_until_ready(xf)
   wall_s = time.perf_counter() - t0
 
   dist = np.asarray(xf[:, 0])                              # forward progress
   zs = np.asarray(xf[:, 2])
+
+  # replayable trajectory of terrain 0's closed-loop trot (SURVEY.md C14):
+  # view with  python examples/replay.py metrics/anymal_trot_traj.npz
+  from raisimlib_tpu.utils import trajectory
+
+  nq = scene0.model.nq
+  traj = trajectory.from_states(scene0, np.asarray(xs[0][:, :nq]),
+                                np.asarray(xs[0][:, nq:]), dt=control_dt)
+  traj["terrain_heights"] = np.asarray(heights[0])
+  trajectory.save("metrics/anymal_trot_traj.npz", traj)
   result = {
       "n_terrains": n_terrains,
       "ticks": n_ticks,
@@ -153,6 +163,9 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
 
 
 if __name__ == "__main__":
+  from raisimlib_tpu.utils.platform import apply_env_platform
+
+  apply_env_platform()  # RAISIM_PLATFORM=cpu forces the CPU backend (smoke CI)
   ap = argparse.ArgumentParser()
   ap.add_argument("--smoke", action="store_true")
   run(smoke=ap.parse_args().smoke)

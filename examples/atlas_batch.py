@@ -116,6 +116,9 @@ def run(smoke: bool = False, scaling: bool = False,
 
 
 if __name__ == "__main__":
+  from raisimlib_tpu.utils.platform import apply_env_platform
+
+  apply_env_platform()  # RAISIM_PLATFORM=cpu forces the CPU backend (smoke CI)
   ap = argparse.ArgumentParser()
   ap.add_argument("--smoke", action="store_true")
   ap.add_argument("--scaling", action="store_true")

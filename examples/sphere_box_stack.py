@@ -66,6 +66,9 @@ def run(smoke: bool = False, metrics_path: str = "metrics/sphere_box_stack.jsonl
 
 
 if __name__ == "__main__":
+  from raisimlib_tpu.utils.platform import apply_env_platform
+
+  apply_env_platform()  # RAISIM_PLATFORM=cpu forces the CPU backend (smoke CI)
   ap = argparse.ArgumentParser()
   ap.add_argument("--smoke", action="store_true")
   run(smoke=ap.parse_args().smoke)

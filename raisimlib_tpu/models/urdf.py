@@ -161,8 +161,10 @@ def load_urdf(
     )
     limit_el = jel.find("limit")
     effort = float(limit_el.get("effort", 1e9)) if limit_el is not None else 1e9
-    q_lo = float(limit_el.get("lower", -1e9)) if limit_el is not None else -1e9
-    q_hi = float(limit_el.get("upper", 1e9)) if limit_el is not None else 1e9
+    # URDF spec: when a <limit> element is present, missing lower/upper default
+    # to 0 for revolute/prismatic joints; an absent <limit> means unlimited.
+    q_lo = float(limit_el.get("lower", 0.0)) if limit_el is not None else -1e9
+    q_hi = float(limit_el.get("upper", 0.0)) if limit_el is not None else 1e9
     if jtype == "continuous":  # no position limits by definition
       q_lo, q_hi = -1e9, 1e9
     joints.append(

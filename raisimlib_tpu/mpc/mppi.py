@@ -90,6 +90,88 @@ def mppi_step(
   return MPPISolution(U=U_new, cost=cost_new, best_cost=jnp.min(costs))
 
 
+def _colorize(eps_white, smooth):
+  """(…, H, nu) white noise -> low-pass colored, variance-normalized."""
+  H = eps_white.shape[-2]
+  nu = eps_white.shape[-1]
+  dtype = eps_white.dtype
+  lead = eps_white.shape[:-2]
+
+  def one(e):
+    def body(prev, ek):
+      s = smooth * prev + (1.0 - smooth) * ek
+      return s, s
+
+    _, out = jax.lax.scan(body, jnp.zeros((nu,), dtype), e)
+    return out / jnp.sqrt(1.0 - smooth**2 + 1e-6)
+
+  flat = eps_white.reshape((-1, H, nu))
+  return jax.vmap(one)(flat).reshape(lead + (H, nu))
+
+
+def mppi_step_batch(
+    dyn_b: Callable,
+    running_cost: Callable,
+    final_cost: Callable,
+    x0s: jnp.ndarray,     # (E, nx) — E independent MPC problems
+    Us: jnp.ndarray,      # (E, H, nu) current plans
+    key: jnp.ndarray,
+    config: MPPIConfig = MPPIConfig(),
+) -> MPPISolution:
+  """One MPPI update of E plans, all E*K sample rollouts in ONE physics batch.
+
+  `dyn_b(X, A, t) -> X_next` is a *batched* dynamics (make_contact_dyn_batch):
+  the full (E*K) sample population rolls through `scene.step_batch` with the
+  batch on the Pallas kernel's lane axis — the MPC throughput path. Per-env
+  math is identical to `mppi_step` with key `jax.random.split(key, E)[e]`
+  (tested in tests/test_anymal_mpc.py).
+
+  Returned `cost` is the cost of the INCOMING plan (= sample 0, the unperturbed
+  rollout) — exact and free; evaluating the updated plan would cost one more
+  H-step sequential rollout, which at B=E*K lane occupancy would nearly double
+  the solve latency for a number the receding-horizon loop re-measures next
+  tick anyway.
+  """
+  E, H, nu = Us.shape
+  K = config.n_samples
+  dtype = Us.dtype
+
+  keys = jax.random.split(key, E)
+  eps_white = config.sigma * jax.vmap(
+      lambda k: jax.random.normal(k, (K, H, nu), dtype))(keys)   # (E, K, H, nu)
+  eps = _colorize(eps_white, config.smooth)
+  eps = eps.at[:, 0].set(0.0)           # sample 0 = unperturbed plan
+  Usamp = Us[:, None] + eps             # (E, K, H, nu)
+
+  # one batched rollout over all E*K samples
+  X0 = jnp.broadcast_to(x0s[:, None, :], (E, K, x0s.shape[-1])).reshape(E * K, -1)
+  Uflat = Usamp.reshape(E * K, H, nu)
+
+  def body(carry, u_t):
+    x, acc = carry
+    u, t = u_t
+    c = jax.vmap(running_cost, in_axes=(0, 0, None))(x, u, t)
+    xn = dyn_b(x, u, t)
+    return (xn, acc + c), None
+
+  ts = jnp.arange(H)
+  (xf, acc), _ = jax.lax.scan(
+      body, (X0, jnp.zeros((E * K,), dtype)), (jnp.moveaxis(Uflat, 0, 1), ts))
+  costs = (acc + jax.vmap(final_cost)(xf)).reshape(E, K)
+
+  if config.n_elite > 0:
+    _, top = jax.lax.top_k(-costs, config.n_elite)               # (E, n_elite)
+    U_new = jnp.mean(jnp.take_along_axis(
+        Usamp, top[:, :, None, None], axis=1), axis=1)
+  else:
+    beta = jnp.min(costs, axis=1, keepdims=True)
+    w = jnp.exp(-(costs - beta) / config.temperature)
+    w = w / jnp.sum(w, axis=1, keepdims=True)
+    U_new = jnp.einsum("ek,ekhu->ehu", w, Usamp)
+
+  return MPPISolution(U=U_new, cost=costs[:, 0], best_cost=jnp.min(costs, axis=1))
+
+
 def receding_horizon(
     dyn, running_cost, final_cost, x0, U0, key, n_iters: int,
     config: MPPIConfig = MPPIConfig(),

@@ -24,9 +24,12 @@ class State:
 
 
 def init_state(model: RobotModel, q=None, u=None) -> State:
+  import numpy as np
+
+  # host-built zeros (transfer, not an un-jitted device op — cf. World.compile)
   q = model.q_init if q is None else q
-  u = jnp.zeros((model.nv,), dtype=q.dtype) if u is None else u
-  return State(q=q, u=u, t=jnp.zeros((), dtype=q.dtype))
+  u = jnp.asarray(np.zeros((model.nv,)), dtype=q.dtype) if u is None else u
+  return State(q=q, u=u, t=jnp.asarray(np.zeros(()), dtype=q.dtype))
 
 
 def step_smooth(

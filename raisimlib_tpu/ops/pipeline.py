@@ -245,7 +245,17 @@ def step_batch(
   )
   solver_in, ctx = pre(state, tau, pd_target)
   G, c0, mu, active = solver_in
-  solver_cfg = config.solver.replace(row_kinds=scene_row_kinds(scene))
+  kinds = scene_row_kinds(scene)
+  # Per-section count check (advisor round-2): the contacts-then-constraints row
+  # order is a cross-function contract between _pre_solve's assembly and
+  # scene_row_kinds; validate section-by-section against the assembled rows so a
+  # reordering fails here instead of silently mislabeling rows in the kernel.
+  tabs = getattr(scene, "constraints", None) or cs.EMPTY
+  n_con = c0.shape[1] - tabs.n_rows
+  assert n_con >= 0 and kinds == ("cone",) * n_con + tabs.row_kinds, (
+      f"solver row sections out of sync: {c0.shape[1]} assembled rows "
+      f"({n_con} contacts + {tabs.n_rows} constraints) vs kinds {kinds}")
+  solver_cfg = config.solver.replace(row_kinds=kinds)
   lam = pallas_contact.solve_contacts_batch(G, c0, mu, active, solver_cfg)
   return jax.vmap(lambda s, c, l: _post_solve(scene, s, c, l))(state, ctx, lam)
 

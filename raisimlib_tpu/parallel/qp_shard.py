@@ -88,5 +88,18 @@ def make_sharded_contact_solver(mesh: Mesh, qp_axis: str = "qp",
     out_specs = P(dp_axis, qp_axis)
     fn = jax.vmap(solve_rows)
 
-  return jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
-                           out_specs=out_specs, check_vma=False))
+  jitted = jax.jit(shard_map(fn, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False))
+  qp_size = dict(zip(mesh.axis_names, mesh.devices.shape))[qp_axis]
+  row_axis = 0 if dp_axis is None else 1
+
+  def solve(G, c0, mu, active):
+    nc = c0.shape[row_axis]
+    if nc % qp_size:
+      raise ValueError(
+          f"contact row count nc={nc} must be divisible by the '{qp_axis}' mesh "
+          f"axis size {qp_size}; pad with inactive rows (active=0, identity "
+          f"diagonal) to the next multiple — see tests/test_qp_shard._pad_rows")
+    return jitted(G, c0, mu, active)
+
+  return solve

@@ -236,28 +236,41 @@ class World:
   # -- compile -----------------------------------------------------------
   def compile(self, joint_limits: bool = True) -> "Scene":
     """Freeze to a Scene. `joint_limits=True` (default, matching the reference)
-    adds one unilateral solver row per dof with a finite URDF position limit."""
+    adds one unilateral solver row per dof with a finite URDF position limit.
+
+    Scene construction runs ON THE HOST CPU DEVICE and the Scene stays there:
+    build-time math is dozens of tiny ops, and on a remote-compile TPU backend
+    (this machine's `axon` tunnel) each un-jitted op costs a full compile
+    round-trip — minutes of setup instead of ~1 s (measured). The Scene's
+    arrays are closure CONSTANTS of the jitted step functions, so jit embeds
+    them from host memory at trace time (free) and uploads them once inside
+    the compiled executable; putting them on the accelerator up front would
+    force a blocking device->host readback per constant at every trace.
+    """
     from raisimlib_tpu.ops import collision as coll
     from raisimlib_tpu.ops import constraints as cs
 
-    model = build_model("scene", self._bodies, dtype=self.dtype)
-    geom_table = coll.build_geom_table(self._geoms, dtype=self.dtype)
-    pairs = coll.candidate_pairs(self._geoms, model, self.self_collision)
-    materials = jnp.asarray(self._material_pair_table(), dtype=self.dtype)
-    tables = cs.build_tables(model, joint_limits, wires=self._wires,
-                             pins=self._pins, compliant=self._compliant)
-    return Scene(
-        model=model,
-        geoms=geom_table,
-        pairs=pairs,
-        materials=materials,
-        gravity=jnp.asarray(self.gravity, dtype=self.dtype),
-        dt=self.dt,
-        kp=jnp.zeros((model.nv,), dtype=self.dtype),
-        kd=jnp.zeros((model.nv,), dtype=self.dtype),
-        field=self._field,
-        constraints=tables,
-    )
+    host = jax.devices("cpu")[0]
+    with jax.default_device(host):
+      model = build_model("scene", self._bodies, dtype=self.dtype)
+      geom_table = coll.build_geom_table(self._geoms, dtype=self.dtype)
+      pairs = coll.candidate_pairs(self._geoms, model, self.self_collision)
+      materials = jnp.asarray(self._material_pair_table(), dtype=self.dtype)
+      tables = cs.build_tables(model, joint_limits, wires=self._wires,
+                               pins=self._pins, compliant=self._compliant)
+      scene = Scene(
+          model=model,
+          geoms=geom_table,
+          pairs=pairs,
+          materials=materials,
+          gravity=jnp.asarray(self.gravity, dtype=self.dtype),
+          dt=self.dt,
+          kp=jnp.zeros((model.nv,), dtype=self.dtype),
+          kd=jnp.zeros((model.nv,), dtype=self.dtype),
+          field=self._field,
+          constraints=tables,
+      )
+    return scene
 
 
 @struct.dataclass
@@ -279,10 +292,13 @@ class Scene:
     return integrator.init_state(self.model, q, u)
 
   def set_pd_gains(self, kp, kd) -> "Scene":
-    """Per-dof PD gains (RaiSim `setPdGains`); scalars broadcast over actuated dofs."""
+    """Per-dof PD gains (RaiSim `setPdGains`); scalars broadcast over actuated dofs.
+
+    Host numpy broadcast + one transfer (no un-jitted device math — see
+    `World.compile` on why that matters on remote-compile backends)."""
     dtype = self.model.q_init.dtype
-    kp = jnp.broadcast_to(jnp.asarray(kp, dtype), (self.model.nv,))
-    kd = jnp.broadcast_to(jnp.asarray(kd, dtype), (self.model.nv,))
+    kp = jnp.asarray(np.broadcast_to(np.asarray(kp), (self.model.nv,)), dtype)
+    kd = jnp.asarray(np.broadcast_to(np.asarray(kd), (self.model.nv,)), dtype)
     return self.replace(kp=kp, kd=kd)
 
   def step(
