@@ -15,24 +15,21 @@ import jax.numpy as jnp
 
 
 def run(smoke: bool = False, metrics_path: str = "metrics/anymal_balance.jsonl"):
-  from raisimlib_tpu.models import anymal
-  from raisimlib_tpu.models.urdf import load_urdf
   from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step_batch
-  from raisimlib_tpu.mpc.state_map import (make_contact_dyn_batch, state_to_vec,
-                                           vec_to_state)
+  from raisimlib_tpu.mpc.state_map import make_contact_dyn_batch, state_to_vec
   from raisimlib_tpu.ops.spatial import quat_box_minus
   from raisimlib_tpu.utils import metrics
-  from raisimlib_tpu.world import World
 
+  from raisimlib_tpu import scenarios
+
+  cfg = scenarios.load("anymal_balance")        # C12 scenario file
+  cc, rcfg, cw = cfg["controller"], cfg["run"], cfg["run"]["cost"]
   dtype = jnp.float32
-  control_dt, substeps = 0.01, 4
-  bodies, geoms, _ = load_urdf(anymal.anymal_urdf())
-  world = World(dt=control_dt / substeps, dtype=dtype)
-  world.add_articulated_system(bodies, name="anymal", geoms=geoms)
-  world.add_ground()
-  scene = world.compile().set_pd_gains(100.0, 2.0)
+  control_dt, substeps = float(cc["control_dt"]), int(cc["substeps"])
+  assert abs(float(cfg["world"]["dt"]) * substeps - control_dt) < 1e-12
+  scene, info = scenarios.build_scene(cfg, dtype=dtype)
 
-  q0 = jnp.asarray(anymal.standing_q(), dtype)
+  q0 = jnp.asarray(info["standing_q"]["anymal"], dtype)
   # batched dynamics: the K-sample MPPI population rides the Pallas kernel's
   # lane axis (scene.step_batch) — the MPC throughput path (round-3 rewire)
   dyn_b, nx, nu = make_contact_dyn_batch(scene, control_dt, substeps, use_pd=True)
@@ -42,11 +39,12 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_balance.jsonl")
 
   def rc(x, u, t):
     q, v = x[:19], x[19:]
-    return (40.0 * (q[2] - z0) ** 2
-            + 10.0 * jnp.sum(quat_box_minus(q[3:7], quat_id) ** 2)
-            + 0.5 * jnp.sum(v[:6] ** 2) + 0.02 * jnp.sum(v[6:] ** 2)
-            + 2.0 * jnp.sum((q[7:] - q_stand) ** 2)
-            + 1.0 * jnp.sum((u - q_stand) ** 2)) * 0.01
+    return (cw["height"] * (q[2] - z0) ** 2
+            + cw["orientation"] * jnp.sum(quat_box_minus(q[3:7], quat_id) ** 2)
+            + cw["base_vel"] * jnp.sum(v[:6] ** 2)
+            + cw["joint_vel"] * jnp.sum(v[6:] ** 2)
+            + cw["posture"] * jnp.sum((q[7:] - q_stand) ** 2)
+            + cw["effort"] * jnp.sum((u - q_stand) ** 2)) * control_dt
 
   def fc(x):
     q, v = x[:19], x[19:]
@@ -54,11 +52,12 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_balance.jsonl")
             + 50.0 * jnp.sum(quat_box_minus(q[3:7], quat_id) ** 2)
             + 5.0 * jnp.sum(v[:6] ** 2))
 
-  H = 15 if smoke else 25
-  K = 64 if smoke else 128
-  n_ticks = 5 if smoke else 40
-  push = 0.6
-  cfg = MPPIConfig(n_samples=K, sigma=0.1, temperature=0.3)
+  H = int(cc["smoke_horizon"] if smoke else cc["horizon"])
+  K = int(cc["smoke_samples"] if smoke else cc["samples"])
+  n_ticks = int(rcfg["smoke_ticks"] if smoke else rcfg["ticks"])
+  push = float(rcfg["push_m_s"])
+  mcfg = MPPIConfig(n_samples=K, sigma=float(cc["sigma"]),
+                    temperature=float(cc["temperature"]))
 
   s0 = scene.init_state(q=q0)
   s_pushed = s0.replace(u=s0.u.at[4].set(push))
@@ -69,7 +68,7 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_balance.jsonl")
 
     def tick(carry, k):
       x, U = carry
-      sol = mppi_step_batch(dyn_b, rc, fc, x[None], U[None], k, cfg)
+      sol = mppi_step_batch(dyn_b, rc, fc, x[None], U[None], k, mcfg)
       Un = sol.U[0]
       x2 = dyn_b(x[None], Un[0][None], 0)[0]
       U_warm = jnp.concatenate([Un[1:], Un[-1:]])

@@ -36,38 +36,39 @@ def gait_reference(n, control_dt, freq=1.5, swing=0.22, dtype=jnp.float32):
 
 
 def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
-  from raisimlib_tpu.models import anymal
-  from raisimlib_tpu.models.urdf import load_urdf
   from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step
   from raisimlib_tpu.mpc.state_map import make_contact_dyn, state_to_vec
   from raisimlib_tpu.ops import heightmap as hm
   from raisimlib_tpu.ops.spatial import quat_box_minus
   from raisimlib_tpu.utils import metrics, terrain
-  from raisimlib_tpu.world import World
 
+  from raisimlib_tpu import scenarios
+
+  cfg = scenarios.load("anymal_trot_heightmap")  # C12 scenario file
+  cc, tc, rcfg, gc = (cfg["controller"], cfg["terrain"], cfg["run"],
+                      cfg["gait"])
   dtype = jnp.float32
-  control_dt, substeps = 0.02, 8
-  n_terrains = 2 if smoke else 4
-  n_ticks = 4 if smoke else 50
-  H = 10 if smoke else 16
-  K = 32 if smoke else 96
-  v_target = 0.35
-  z_rough = 0.04 if smoke else 0.06
+  control_dt, substeps = float(cc["control_dt"]), int(cc["substeps"])
+  assert abs(float(cfg["world"]["dt"]) * substeps - control_dt) < 1e-12
+  n_terrains = int(tc["smoke_n_terrains"] if smoke else tc["n_terrains"])
+  n_ticks = int(rcfg["smoke_ticks"] if smoke else rcfg["ticks"])
+  H = int(cc["smoke_horizon"] if smoke else cc["horizon"])
+  K = int(cc["smoke_samples"] if smoke else cc["samples"])
+  v_target = float(rcfg["v_target"])
+  z_rough = float(tc["smoke_z_scale"] if smoke else tc["z_scale"])
 
-  bodies, geoms, _ = load_urdf(anymal.anymal_urdf())
-  world = World(dt=control_dt / substeps, dtype=dtype)
-  world.add_articulated_system(bodies, name="anymal", geoms=geoms)
-  base_field = terrain.flat(0.0, size=(12.0, 6.0), samples=(48, 24),
-                            dtype=dtype)
-  world.add_heightmap(base_field)
-  scene0 = world.compile().set_pd_gains(120.0, 3.0)
+  scene0, info = scenarios.build_scene(cfg, dtype=dtype)
+  tsize = tuple(info["terrain"]["size"])
+  tsamples = tuple(info["terrain"]["samples"])
 
-  q0 = jnp.asarray(anymal.standing_q(), dtype)
+  q0 = jnp.asarray(info["standing_q"]["anymal"], dtype)
   q_stand = q0[7:]
   z0 = q0[2]
   quat_id = jnp.array([1.0, 0.0, 0.0, 0.0], dtype)
-  gait = gait_reference(n_ticks + H, control_dt, dtype=dtype)
-  cfg = MPPIConfig(n_samples=K, sigma=0.08, temperature=0.25)
+  gait = gait_reference(n_ticks + H, control_dt, freq=float(gc["freq_hz"]),
+                        swing=float(gc["swing"]), dtype=dtype)
+  mcfg = MPPIConfig(n_samples=K, sigma=float(cc["sigma"]),
+                    temperature=float(cc["temperature"]))
 
   def make_cost(field):
     def rc(x, u, t):
@@ -103,7 +104,7 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
       x, dU = carry
       k, m = inp
       base = jax.lax.dynamic_slice(gait, (m, 0), (H, 12))  # upcoming references
-      sol = mppi_step(dyn, rc, fc, x, base + dU, k, cfg)
+      sol = mppi_step(dyn, rc, fc, x, base + dU, k, mcfg)
       x2 = dyn(x, sol.U[0], 0)
       dU2 = jnp.concatenate([sol.U[1:] - base[1:], sol.U[-1:] - base[-1:]])
       return (x2, dU2), x2
@@ -116,8 +117,9 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
   keys = jax.random.split(jax.random.PRNGKey(7), n_terrains)
   tkeys = jax.random.split(jax.random.PRNGKey(11), n_terrains)
   heights = jax.vmap(lambda k: terrain.generate(
-      k, terrain.TerrainProperties(z_scale=z_rough, x_size=12.0, y_size=6.0,
-                                   x_samples=48, y_samples=24),
+      k, terrain.TerrainProperties(z_scale=z_rough, x_size=tsize[0],
+                                   y_size=tsize[1], x_samples=tsamples[0],
+                                   y_samples=tsamples[1]),
       dtype=dtype).heights)(tkeys)
 
   batched = jax.jit(jax.vmap(trot_on_terrain))

@@ -19,18 +19,13 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_scene(dtype=jnp.float32, dt=0.004):
-  from raisimlib_tpu.models import atlas
-  from raisimlib_tpu.models.urdf import load_urdf
-  from raisimlib_tpu.world import World
+def build_scene(dtype=jnp.float32):
+  from raisimlib_tpu import scenarios
 
-  bodies, geoms, jmap = load_urdf(atlas.atlas_urdf())
-  world = World(dt=dt, dtype=dtype)
-  world.add_articulated_system(bodies, name="atlas", geoms=geoms)
-  world.add_ground()
-  scene = world.compile().set_pd_gains(8000.0, 300.0)
-  q0 = jnp.asarray(atlas.standing_q(jmap), dtype)
-  return scene, q0
+  cfg = scenarios.load("atlas_batch")           # C12 scenario file
+  scene, info = scenarios.build_scene(cfg, dtype=dtype)
+  q0 = jnp.asarray(info["standing_q"]["atlas"], dtype)
+  return scene, q0, cfg
 
 
 def run(smoke: bool = False, scaling: bool = False,
@@ -38,9 +33,10 @@ def run(smoke: bool = False, scaling: bool = False,
   from raisimlib_tpu.utils import metrics
 
   dtype = jnp.float32
-  B = 64 if smoke else 1024
-  H = 5 if smoke else 50
-  scene, q0 = build_scene(dtype)
+  scene, q0, cfg = build_scene(dtype)
+  rcfg = cfg["run"]
+  B = int(rcfg["smoke_batch"] if smoke else rcfg["batch"])
+  H = int(rcfg["smoke_horizon"] if smoke else rcfg["horizon"])
   nv, nq = scene.model.nv, scene.model.nq
 
   def batch_states(scene, B, key):
@@ -90,12 +86,18 @@ def run(smoke: bool = False, scaling: bool = False,
 
   # ---- weak-scaling table over the available mesh ----
   if scaling:
+    import os
+
     from raisimlib_tpu.parallel.scaling import weak_scaling_report
     from raisimlib_tpu.parallel.sharded import make_sharded_rollout
     from raisimlib_tpu.parallel.mesh import shard_batch
 
-    per_dev = 16 if smoke else 128
-    Hs = 3 if smoke else 10
+    scfg = cfg["scaling"]
+    per_dev = int(os.environ.get(
+        "ATLAS_SCALING_PER_DEV",
+        scfg["smoke_per_device"] if smoke else scfg["per_device"]))
+    Hs = int(os.environ.get(
+        "ATLAS_SCALING_H", scfg["smoke_horizon"] if smoke else scfg["horizon"]))
 
     def build(mesh):
       n = mesh.devices.size
@@ -106,11 +108,12 @@ def run(smoke: bool = False, scaling: bool = False,
       sts, pds = shard_batch(mesh, (sts, pds))
       return (lambda s, p: fn(s, p)[0].q), (sts, pds)
 
-    counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
+    counts = [n for n in scfg["device_counts"] if n <= len(jax.devices())]
     rows = weak_scaling_report(build, per_dev, device_counts=counts,
                                unit="rollouts/s")
     for r in rows:
-      metrics.emit("atlas_weak_scaling", path=metrics_path, echo=True, **r)
+      metrics.emit("atlas_weak_scaling", path="metrics/atlas_weak_scaling.jsonl",
+                   echo=True, **r)
     result["scaling"] = rows
   return result
 

@@ -15,25 +15,32 @@ import jax.numpy as jnp
 
 
 def run(smoke: bool = False, metrics_path: str = "metrics/cartpole_swingup.jsonl"):
+  from raisimlib_tpu import scenarios
   from raisimlib_tpu.models import primitives
   from raisimlib_tpu.mpc import ILQRConfig, ilqr, make_smooth_dyn
   from raisimlib_tpu.utils import metrics
 
+  cfg = scenarios.load("cartpole_swingup")      # C12 scenario file
+  mc, cc = cfg["model"], cfg["controller"]
+  cw = cfg["run"]["cost"]
   dtype = jnp.float32
   model = primitives.cartpole(dtype=dtype)
   G = jnp.array([0.0, 0.0, -9.81], dtype)
-  dyn, nx, nu = make_smooth_dyn(model, G, dt=0.02, substeps=2)
+  dt = float(mc["dt"])
+  dyn, nx, nu = make_smooth_dyn(model, G, dt=dt, substeps=int(mc["substeps"]))
 
   def rc(x, u, t):
-    return (4.0 * (jnp.cos(x[1]) + 1.0) + 0.1 * x[0] ** 2
-            + 0.05 * (x[2] ** 2 + x[3] ** 2) + 0.01 * jnp.sum(u**2)) * 0.02
+    return (cw["upright"] * (jnp.cos(x[1]) + 1.0) + cw["cart"] * x[0] ** 2
+            + cw["vel"] * (x[2] ** 2 + x[3] ** 2)
+            + cw["effort"] * jnp.sum(u**2)) * dt
 
   def fc(x):
-    return 40.0 * (jnp.cos(x[1]) + 1.0) + 2.0 * x[0] ** 2 + x[2] ** 2 + x[3] ** 2
+    return (cw["final_upright"] * (jnp.cos(x[1]) + 1.0)
+            + 2.0 * x[0] ** 2 + x[2] ** 2 + x[3] ** 2)
 
-  H = 50
-  iters = 10 if smoke else 40
-  x0 = jnp.zeros((nx,), dtype).at[1].set(0.05)   # symmetry-breaking tilt
+  H = int(cc["horizon"])
+  iters = int(cc["smoke_iters"] if smoke else cc["iters"])
+  x0 = jnp.zeros((nx,), dtype).at[1].set(cfg["run"]["tilt0"])
   U0 = jnp.zeros((H, nu), dtype)
 
   solve = jax.jit(lambda a, b: ilqr(dyn, rc, fc, a, b, ILQRConfig(iters=iters)))

@@ -15,20 +15,19 @@ import numpy as np
 
 
 def run(smoke: bool = False, metrics_path: str = "metrics/sphere_box_stack.jsonl"):
+  from raisimlib_tpu import scenarios
   from raisimlib_tpu.utils import metrics
-  from raisimlib_tpu.world import World
 
+  cfg = scenarios.load("sphere_box_stack")   # C12 world-description file
+  rcfg = cfg["run"]
   dtype = jnp.float32
-  dt = 0.002
-  world = World(dt=dt, dtype=dtype)
-  world.add_ground()
-  world.add_box((0.25, 0.25, 0.15), mass=2.0, pos=(0.0, 0.0, 0.151))
-  world.add_sphere(0.12, mass=1.0, pos=(0.05, 0.0, 0.45))
+  dt = float(cfg["world"]["dt"])
+  world, _ = scenarios.build_world(cfg, dtype=dtype)
   scene = world.compile()
   s0 = scene.init_state()
-  s0 = s0.replace(u=s0.u.at[9].set(0.3))     # sideways kick on the sphere
+  s0 = s0.replace(u=s0.u.at[9].set(rcfg["kick_m_s"]))  # sideways sphere kick
 
-  seconds = 1.0 if smoke else 10.0
+  seconds = rcfg["smoke_seconds"] if smoke else rcfg["sim_seconds"]
   n = int(seconds / dt)
 
   @jax.jit
@@ -58,10 +57,13 @@ def run(smoke: bool = False, metrics_path: str = "metrics/sphere_box_stack.jsonl
   }
   metrics.emit("example_sphere_box_stack", path=metrics_path, echo=True, **result)
   if not smoke:
-    assert abs(result["box_z_final"] - 0.15) < 5e-3, "box not resting on ground"
-    assert abs(result["sphere_z_final"] - 0.42) < 5e-3, "sphere not resting on box"
-    assert result["box_penetration_max"] < 5e-3, "penetration grew"
-    assert result["settled_speed"] < 0.05, "stack did not settle"
+    g = rcfg["gates"]
+    assert abs(result["box_z_final"] - g["box_rest_z"]) < g["rest_tol"], (
+        "box not resting on ground")
+    assert abs(result["sphere_z_final"] - g["sphere_rest_z"]) < g["rest_tol"], (
+        "sphere not resting on box")
+    assert result["box_penetration_max"] < g["max_penetration"], "penetration grew"
+    assert result["settled_speed"] < g["settled_speed"], "stack did not settle"
   return result
 
 

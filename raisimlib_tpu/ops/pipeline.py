@@ -174,21 +174,26 @@ def _pre_solve(
     active = jnp.concatenate([active, actx], axis=0)
     nc = nc + tabs.n_rows
 
-  Jf = Jc.reshape(nc * 3, model.nv)
+  # Rotate each row triplet's Jacobian into its contact frame FIRST (a small
+  # (nc,3,3)x(nc,3,nv) contraction), so the Delassus product below lands
+  # directly in contact frames. The naive order — build world-frame G, then
+  # conjugate by C on both sides — moves the full (nc,3,nc,3) Delassus through
+  # HBM twice more per step; at B=2048 those two einsums plus the post-solve
+  # impulse rotation were ~10% of the measured step time (round-3 profile).
+  Jr = jnp.einsum("ipq,iqv->ipv", C, Jc)                   # rows now (t1,t2,n)
+  Jf = Jr.reshape(nc * 3, model.nv)
   # One fused pair of triangular sweeps for both solves:
   #   col 0: (M + dt D) v_free = M u + dt (tau - h)
   #           == v_free = u + dt Minv(tau - h - D u);  cols 1..: Minv J^T
   rhs = jnp.concatenate([(tau - h - D * u)[:, None], Jf.T], axis=1)
   sol = linalg.cho_solve(L, rhs)                           # (nv, 1 + nc*3)
   v_free = u + dt * sol[:, 0]
-  MinvJT = sol[:, 1:]                                      # (nv, nc*3)
-  Gw = (Jf @ MinvJT).reshape(nc, 3, nc, 3)
-  G = jnp.einsum("ipq,iqjr,jsr->ipjs", C, Gw, C)
+  MinvJT = sol[:, 1:]                                      # (nv, nc*3), rotated basis
+  G = (Jf @ MinvJT).reshape(nc, 3, nc, 3)                  # contact frames directly
 
-  v_free_c = jnp.einsum("ipq,iqv,v->ip", C, Jc, v_free)
-  c0 = v_free_c - bias
+  c0 = jnp.einsum("ipv,v->ip", Jr, v_free) - bias
 
-  return (G, c0, mu, active), (C, MinvJT, v_free)
+  return (G, c0, mu, active), (MinvJT, v_free)
 
 
 def scene_row_kinds(scene) -> tuple:
@@ -202,10 +207,12 @@ def scene_row_kinds(scene) -> tuple:
 
 
 def _post_solve(scene, state: State, ctx, lam_loc) -> State:
-  """Apply contact impulses and integrate positions."""
-  C, MinvJT, v_free = ctx
-  lam_w = jnp.einsum("iqp,iq->ip", C, lam_loc)             # C^T lam (rows->cols)
-  du = MinvJT @ lam_w.reshape(-1)
+  """Apply contact impulses and integrate positions.
+
+  MinvJT is in the rotated (contact-frame) basis — see _pre_solve — so the
+  contact-frame impulses apply directly, no world-frame rotation needed."""
+  MinvJT, v_free = ctx
+  du = MinvJT @ lam_loc.reshape(-1)
   u_new = v_free + du
   q_new = dynamics.integrate_q(scene.model, state.q, u_new, scene.dt)
   return State(q=q_new, u=u_new, t=state.t + scene.dt)
@@ -270,8 +277,15 @@ def step_with_report(scene, state, tau, pd_target=None,
   G, c0, mu, active = solver_in
   lam_loc = ct.solve_contacts(G, c0, mu, active, config=config.solver)
   new_state = _post_solve(scene, state, ctx, lam_loc)
-  C, _, _ = ctx
-  lam_world = jnp.einsum("iqp,iq->ip", C, lam_loc)
+  # reconstruct the contact frames (the hot path keeps everything in the
+  # rotated basis and no longer carries C — _pre_solve's rotation refactor);
+  # constraint rows use the identity frame, so only contact rows need rotating
   kin = dynamics.fk(model, state.q, state.u)
   contacts = coll.collide(scene.geoms, scene.pairs, kin, getattr(scene, "field", None))
+  ncc = contacts.depth.shape[0]
+  t1t2 = [_tangent_basis(contacts.normal[k]) for k in range(ncc)]
+  C = jnp.stack(
+      [jnp.stack([t1, t2, contacts.normal[k]]) for k, (t1, t2) in enumerate(t1t2)])
+  lam_world = lam_loc.at[:ncc].set(
+      jnp.einsum("iqp,iq->ip", C, lam_loc[:ncc]))
   return new_state, contacts, lam_loc, lam_world

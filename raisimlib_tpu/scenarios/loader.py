@@ -1,0 +1,176 @@
+"""YAML scenario loader — the C12 world-description surface.
+
+RaiSim's `World(xmlFile)` builds a world from an XML description [SURVEY.md
+C12]. The TPU-native equivalent is YAML: one file per BASELINE config under
+`raisimlib_tpu/scenarios/*.yaml`, holding everything the corresponding example
+previously hardcoded — world composition (objects, materials, terrain), physics
+parameters (dt, gravity, PD gains), and controller/run settings (horizon,
+samples, budgets). `load()` parses + validates, `build_world()` constructs the
+`World` from the `world:` section; controller sections are returned as plain
+dicts for the example/MPC layer (the reference has no MPC layer to configure —
+this section is new capability, C18).
+
+Schema (all keys optional unless noted):
+  name: str (required)
+  world:
+    dt: float (required)
+    gravity: [x, y, z]
+    objects:                # ordered; one entry per add_* call
+      - {type: urdf, model: anymal|atlas, name: str}
+      - {type: ground, height: float, material: int}
+      - {type: sphere, radius, mass, pos, material}
+      - {type: box, half_extents, mass, pos, material}
+      - {type: capsule, radius, half_length, mass, pos, material}
+      - {type: heightmap, size: [x,y], samples: [nx,ny], z_scale: float}
+    materials: [{mu, restitution, threshold}, ...]   # index 0 = default
+    pd_gains: {kp, kd}
+  controller: {...}          # free-form dict for the MPC layer
+  run: {...}                 # free-form dict for the example main
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import yaml
+
+_SCENARIO_DIR = os.path.dirname(os.path.abspath(__file__))
+_OBJECT_TYPES = ("urdf", "ground", "sphere", "box", "capsule", "heightmap")
+
+
+def scenario_path(name: str) -> str:
+  """Resolve a scenario name or path to a YAML file path."""
+  if os.path.sep in name or name.endswith((".yaml", ".yml")):
+    return name
+  return os.path.join(_SCENARIO_DIR, name + ".yaml")
+
+
+def load(name: str) -> dict:
+  """Load + validate a scenario config by name (or explicit path)."""
+  path = scenario_path(name)
+  with open(path) as f:
+    cfg = yaml.safe_load(f)
+  if not isinstance(cfg, dict) or "name" not in cfg:
+    raise ValueError(f"{path}: scenario must be a mapping with a 'name' key")
+  if "world" in cfg:
+    world = cfg["world"]
+    if "dt" not in world:
+      raise ValueError(f"{path}: world.dt is required")
+    for obj in world.get("objects", ()):
+      t = obj.get("type")
+      if t not in _OBJECT_TYPES:
+        raise ValueError(f"{path}: unknown object type {t!r} "
+                         f"(expected one of {_OBJECT_TYPES})")
+  return cfg
+
+
+def _builtin_model(name: str):
+  """Builtin parametric URDF generators (the models/ package)."""
+  if name == "anymal":
+    from raisimlib_tpu.models import anymal
+
+    return anymal.anymal_urdf(), lambda jmap: anymal.standing_q()
+  if name == "atlas":
+    from raisimlib_tpu.models import atlas
+
+    return atlas.atlas_urdf(), lambda jmap: atlas.standing_q(jmap)
+  raise ValueError(f"unknown builtin model {name!r}")
+
+
+def build_world(cfg: dict, dtype=None):
+  """Construct a `World` (+ metadata) from the scenario's `world:` section.
+
+  Returns (world, info) where info carries per-object extras:
+    info["standing_q"][name] -> callable giving the reference pose (urdf robots)
+    info["field"] -> the HeightField if a heightmap object was declared
+  """
+  import jax.numpy as jnp
+  import numpy as np
+
+  from raisimlib_tpu.models.urdf import load_urdf
+  from raisimlib_tpu.world import World
+
+  w = cfg.get("world", {})
+  dtype = dtype or jnp.float32
+  world = World(dt=float(w["dt"]),
+                gravity=tuple(w.get("gravity", (0.0, 0.0, -9.81))),
+                dtype=dtype)
+  info: dict = {"standing_q": {}, "field": None, "handles": {}}
+
+  for i, mat in enumerate(w.get("materials", ())):
+    if i == 0:
+      world.set_default_friction(float(mat.get("mu", 0.8)))
+    else:
+      world.add_material(float(mat.get("mu", 0.8)),
+                         float(mat.get("restitution", 0.0)),
+                         float(mat.get("threshold", 0.001)))
+
+  for obj in w.get("objects", ()):
+    t = obj["type"]
+    if t == "urdf":
+      urdf_xml, standing = _builtin_model(obj["model"])
+      bodies, geoms, jmap = load_urdf(urdf_xml)
+      h = world.add_articulated_system(bodies, name=obj.get("name", obj["model"]),
+                                       geoms=geoms)
+      info["standing_q"][obj.get("name", obj["model"])] = np.asarray(
+          standing(jmap))
+      info["handles"][obj.get("name", obj["model"])] = h
+      info.setdefault("jmap", {})[obj.get("name", obj["model"])] = jmap
+    elif t == "ground":
+      world.add_ground(height=float(obj.get("height", 0.0)),
+                       material=int(obj.get("material", 0)))
+    elif t == "sphere":
+      world.add_sphere(float(obj["radius"]), float(obj["mass"]),
+                       name=obj.get("name", "sphere"),
+                       material=int(obj.get("material", 0)),
+                       pos=tuple(obj.get("pos", (0.0, 0.0, 1.0))))
+    elif t == "box":
+      world.add_box(tuple(obj["half_extents"]), float(obj["mass"]),
+                    name=obj.get("name", "box"),
+                    material=int(obj.get("material", 0)),
+                    pos=tuple(obj.get("pos", (0.0, 0.0, 1.0))))
+    elif t == "capsule":
+      world.add_capsule(float(obj["radius"]), float(obj["half_length"]),
+                        float(obj["mass"]), name=obj.get("name", "capsule"),
+                        material=int(obj.get("material", 0)),
+                        pos=tuple(obj.get("pos", (0.0, 0.0, 1.0))))
+    elif t == "heightmap":
+      from raisimlib_tpu.utils import terrain
+
+      field = terrain.flat(0.0, size=tuple(obj.get("size", (12.0, 6.0))),
+                           samples=tuple(obj.get("samples", (48, 24))),
+                           dtype=dtype)
+      world.add_heightmap(field, material=int(obj.get("material", 0)))
+      info["field"] = field
+      info["terrain"] = obj
+
+  pd = w.get("pd_gains")
+  if pd and "groups" in pd:
+    # per-joint-group gains by substring match on joint names (e.g. stiff legs,
+    # soft arms for a humanoid — a scalar kp=8000 on a 0.01 kg m^2 elbow rings
+    # at the Nyquist rate of a 4 ms step; see tests/test_parity.py config 5)
+    (rname, jmap), = info["jmap"].items()  # single-robot assumption for groups
+    nv = 6 + len(jmap)
+    kp = np.zeros(nv)
+    kd = np.zeros(nv)
+    for grp in pd["groups"]:
+      for jname, dof in jmap.items():
+        if grp["match"] in jname:
+          kp[dof] = float(grp["kp"])
+          kd[dof] = float(grp["kd"])
+    info["pd_gains"] = (kp, kd)
+  elif pd:
+    info["pd_gains"] = (float(pd["kp"]), float(pd["kd"]))
+  else:
+    info["pd_gains"] = None
+  return world, info
+
+
+def build_scene(cfg: dict, dtype=None, joint_limits: bool = True):
+  """`build_world` + compile + PD gains -> (scene, info)."""
+  world, info = build_world(cfg, dtype=dtype)
+  scene = world.compile(joint_limits=joint_limits)
+  if info["pd_gains"]:
+    scene = scene.set_pd_gains(*info["pd_gains"])
+  return scene, info
