@@ -29,11 +29,18 @@ class JointType(enum.IntEnum):
   FREE = 0
   REVOLUTE = 1
   PRISMATIC = 2
+  SPHERICAL = 3     # ball joint: q = quat wxyz(4), u = omega_body(3)
 
 
 # dof / coord counts per joint type
-_NQ = {JointType.FREE: 7, JointType.REVOLUTE: 1, JointType.PRISMATIC: 1}
-_NV = {JointType.FREE: 6, JointType.REVOLUTE: 1, JointType.PRISMATIC: 1}
+_NQ = {JointType.FREE: 7, JointType.REVOLUTE: 1, JointType.PRISMATIC: 1,
+       JointType.SPHERICAL: 4}
+_NV = {JointType.FREE: 6, JointType.REVOLUTE: 1, JointType.PRISMATIC: 1,
+       JointType.SPHERICAL: 3}
+
+
+def joint_nv(jt: JointType) -> int:
+  return _NV[JointType(jt)]
 
 
 @struct.dataclass
@@ -149,7 +156,8 @@ def build_model(
     tl = float(b.get("torque_limit", 1e9))
     actuated_list += [1.0 if act else 0.0] * ndof
     tl_list += [tl] * ndof
-    if jt == JointType.FREE:
+    if jt in (JointType.FREE, JointType.SPHERICAL):
+      # multi-dof joints have no scalar position limits (quaternion coords)
       lo_list += [-1e9] * ndof
       hi_list += [1e9] * ndof
     else:
@@ -159,6 +167,8 @@ def build_model(
     if q0 is None:
       if jt == JointType.FREE:
         q0 = [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+      elif jt == JointType.SPHERICAL:
+        q0 = [1.0, 0.0, 0.0, 0.0]
       else:
         q0 = [0.0]
     q_init += list(np.atleast_1d(np.asarray(q0, dtype=np.float64)))

@@ -22,6 +22,7 @@ from raisimlib_tpu.ops.collision import (
     GEOM_BOX,
     GEOM_CAPSULE,
     GEOM_CYLINDER,
+    GEOM_MESH,
     GEOM_SPHERE,
 )
 
@@ -102,16 +103,65 @@ def _parse_geometry(geo_el, pos, R, material) -> Optional[dict]:
   if cyl is not None:
     r = float(cyl.get("radius"))
     l = float(cyl.get("length"))
-    # approximate cylinder by capsule of same radius, shortened so total length matches
-    hl = max(l / 2 - r, 1e-6)
-    return dict(gtype=GEOM_CAPSULE, params=[r, hl], offset_pos=pos, offset_rot=R,
-                material=material)
+    # true flat-capped cylinder (round-3: cylinder narrow phase exists for
+    # plane/heightmap/sphere pairs; other pairs warn at compile, never silent)
+    return dict(gtype=GEOM_CYLINDER, params=[r, l / 2], offset_pos=pos,
+                offset_rot=R, material=material)
   cap = geo_el.find("capsule")
   if cap is not None:
     r = float(cap.get("radius"))
     l = float(cap.get("length"))
     return dict(gtype=GEOM_CAPSULE, params=[r, l / 2], offset_pos=pos, offset_rot=R,
                 material=material)
+  mesh = geo_el.find("mesh")
+  if mesh is not None:
+    fname = mesh.get("filename", "")
+    verts = load_mesh_vertices(fname)
+    if verts is None:
+      return None                        # caller warns (unreadable/missing file)
+    scale = mesh.get("scale")
+    if scale:
+      verts = verts * np.array([float(v) for v in scale.split()])
+    return dict(gtype=GEOM_MESH, params=[], offset_pos=pos, offset_rot=R,
+                material=material, mesh=verts)
+  return None
+
+
+def load_mesh_vertices(path: str):
+  """Vertex table from an .obj (ascii) or .stl (binary or ascii) mesh file.
+  Returns (n, 3) float64 array, or None if the file is missing/unsupported.
+  Only vertices are needed: the collision kernels are vertex-sampled convex
+  hulls (ops/collision.py MAX_MESH_VERTS support sampling)."""
+  import os
+  import struct as pystruct
+
+  if not path or not os.path.exists(path):
+    return None
+  ext = os.path.splitext(path)[1].lower()
+  if ext == ".obj":
+    verts = []
+    with open(path) as f:
+      for line in f:
+        if line.startswith("v "):
+          parts = line.split()
+          verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+    return np.asarray(verts) if len(verts) >= 4 else None
+  if ext == ".stl":
+    with open(path, "rb") as f:
+      raw = f.read()
+    if raw[:5].lower() == b"solid" and b"facet" in raw[:500]:
+      verts = []
+      for line in raw.decode(errors="ignore").splitlines():
+        t = line.split()
+        if len(t) == 4 and t[0] == "vertex":
+          verts.append([float(t[1]), float(t[2]), float(t[3])])
+      return np.unique(np.asarray(verts), axis=0) if len(verts) >= 4 else None
+    (n_tri,) = pystruct.unpack_from("<I", raw, 80)
+    if len(raw) < 84 + 50 * n_tri:
+      return None
+    tri = np.frombuffer(raw[84:84 + 50 * n_tri], dtype=np.uint8)
+    tri = tri.reshape(n_tri, 50)[:, 12:48].copy().view("<f4").reshape(n_tri, 3, 3)
+    return np.unique(tri.reshape(-1, 3).astype(np.float64), axis=0)
   return None
 
 
@@ -229,7 +279,9 @@ def load_urdf(
   joint_to_dof: Dict[str, int] = {}
 
   type_map = {"revolute": JointType.REVOLUTE, "continuous": JointType.REVOLUTE,
-              "prismatic": JointType.PRISMATIC}
+              "prismatic": JointType.PRISMATIC,
+              # non-standard but common URDF extensions for ball joints
+              "spherical": JointType.SPHERICAL, "ball": JointType.SPHERICAL}
 
   def emit(link_name: str, parent_idx: int, joint: Optional[dict]):
     link = links[link_name]
@@ -263,9 +315,11 @@ def load_urdf(
   emit(root_link, -1, None)
 
   # dof index map (computed the same way build_model assigns them)
+  from raisimlib_tpu.models.model import joint_nv
+
   nv = 0
   for i, spec in enumerate(body_specs):
-    ndof = 6 if spec["joint"] == JointType.FREE else 1
+    ndof = joint_nv(spec["joint"])
     for j in joints:
       if body_index.get(j["child"]) == i:
         joint_to_dof[j["name"]] = nv

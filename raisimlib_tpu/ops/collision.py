@@ -29,6 +29,11 @@ GEOM_CAPSULE = 2
 GEOM_PLANE = 3
 GEOM_HEIGHTMAP = 4
 GEOM_CYLINDER = 5
+GEOM_MESH = 6
+
+# convex meshes: precomputed hull vertex tables, padded to a fixed width
+# (vertex-sampled narrow phase — SURVEY.md C6 "mesh via convex lib" equivalent)
+MAX_MESH_VERTS = 32
 
 # slots contributed per pair type (keyed by sorted gtype pair)
 _PAIR_SLOTS = {
@@ -44,6 +49,12 @@ _PAIR_SLOTS = {
     (GEOM_SPHERE, GEOM_HEIGHTMAP): 1,
     (GEOM_CAPSULE, GEOM_HEIGHTMAP): 2,
     (GEOM_BOX, GEOM_HEIGHTMAP): 8,
+    (GEOM_SPHERE, GEOM_CYLINDER): 1,
+    (GEOM_PLANE, GEOM_CYLINDER): 6,       # 3 rim points per cap
+    (GEOM_HEIGHTMAP, GEOM_CYLINDER): 6,
+    (GEOM_SPHERE, GEOM_MESH): 1,
+    (GEOM_PLANE, GEOM_MESH): 4,           # 4 deepest hull vertices
+    (GEOM_HEIGHTMAP, GEOM_MESH): 4,
 }
 
 
@@ -57,6 +68,26 @@ class GeomTable:
   params: jnp.ndarray        # (ng, 4)
   offset_pos: jnp.ndarray    # (ng, 3)
   offset_rot: jnp.ndarray    # (ng, 3, 3)
+  # convex-hull vertex tables (body-local, offset applied), zero for non-mesh
+  mesh_verts: jnp.ndarray = None       # (ng, MAX_MESH_VERTS, 3)
+  mesh_vcount: tuple = struct.field(pytree_node=False, default=())  # len ng
+
+
+def hull_support_sample(verts: np.ndarray, k: int = MAX_MESH_VERTS) -> np.ndarray:
+  """Reduce a vertex cloud to <= k points by support-direction sampling: the
+  extreme vertex along each of k quasi-uniform directions (Fibonacci sphere).
+  Exact for hulls with <= k vertices; a principled outer-feature subset
+  otherwise (keeps the contact-relevant extremes, drops interior/dense verts)."""
+  verts = np.asarray(verts, np.float64).reshape(-1, 3)
+  if len(verts) <= k:
+    return verts
+  idx = np.arange(k)
+  phi = np.pi * (3.0 - np.sqrt(5.0)) * idx
+  z = 1.0 - 2.0 * (idx + 0.5) / k
+  r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+  dirs = np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
+  picked = np.unique(np.argmax(verts @ dirs.T, axis=0))
+  return verts[picked]
 
 
 def build_geom_table(specs: Sequence, dtype=jnp.float32) -> GeomTable:
@@ -64,10 +95,22 @@ def build_geom_table(specs: Sequence, dtype=jnp.float32) -> GeomTable:
   params = np.zeros((ng, 4))
   opos = np.zeros((ng, 3))
   orot = np.zeros((ng, 3, 3))
+  mverts = np.zeros((ng, MAX_MESH_VERTS, 3))
+  mcount = []
   for i, g in enumerate(specs):
     params[i] = g.params
     opos[i] = g.offset_pos
     orot[i] = g.offset_rot
+    mv = getattr(g, "mesh", None)
+    if mv is not None:
+      mv = hull_support_sample(mv)
+      n = len(mv)
+      assert n >= 4, "mesh hull needs >= 4 vertices"
+      mverts[i, :n] = g.offset_pos[None] + mv @ g.offset_rot.T
+      mverts[i, n:] = mverts[i, 0]       # pad with a real vertex (masked anyway)
+      mcount.append(n)
+    else:
+      mcount.append(0)
   return GeomTable(
       gtype=tuple(int(g.gtype) for g in specs),
       body=tuple(int(g.body) for g in specs),
@@ -75,6 +118,8 @@ def build_geom_table(specs: Sequence, dtype=jnp.float32) -> GeomTable:
       params=jnp.asarray(params, dtype=dtype),
       offset_pos=jnp.asarray(opos, dtype=dtype),
       offset_rot=jnp.asarray(orot, dtype=dtype),
+      mesh_verts=jnp.asarray(mverts, dtype=dtype),
+      mesh_vcount=tuple(mcount),
   )
 
 
@@ -87,7 +132,13 @@ def candidate_pairs(specs: Sequence, model: RobotModel,
   `self_collision` — matching the reference, where an ArticulatedSystem's
   self-collisions are opt-in. Fewer pairs = fewer contact slots = a shorter
   Gauss-Seidel chain, which is the hot serial path on TPU."""
+  import warnings
+
+  _NAMES = {GEOM_SPHERE: "sphere", GEOM_BOX: "box", GEOM_CAPSULE: "capsule",
+            GEOM_PLANE: "plane", GEOM_HEIGHTMAP: "heightmap",
+            GEOM_CYLINDER: "cylinder", GEOM_MESH: "mesh"}
   pairs = []
+  dropped = []
   ng = len(specs)
   for i in range(ng):
     for j in range(i + 1, ng):
@@ -106,12 +157,25 @@ def candidate_pairs(specs: Sequence, model: RobotModel,
       ti, tj = int(specs[i].gtype), int(specs[j].gtype)
       key = tuple(sorted((ti, tj)))
       if key not in _PAIR_SLOTS:
-        continue  # unsupported pair type (cylinder/mesh narrow phase)
-      # order pair so the lower gtype comes first (kernels assume canonical order)
-      if ti <= tj:
+        dropped.append((_NAMES.get(ti, ti), _NAMES.get(tj, tj)))
+        continue
+      # canonical order: plane/heightmap second (kernels + collide() assume it);
+      # otherwise the lower gtype comes first
+      if ti in (GEOM_PLANE, GEOM_HEIGHTMAP):
+        pairs.append((j, i))
+      elif tj in (GEOM_PLANE, GEOM_HEIGHTMAP):
+        pairs.append((i, j))
+      elif ti <= tj:
         pairs.append((i, j))
       else:
         pairs.append((j, i))
+  if dropped:
+    # never silent (round-2 verdict #6): a loaded robot must not lose collision
+    # geometry without a runtime signal
+    warnings.warn(
+        f"candidate_pairs: no narrow-phase kernel for geom pair type(s) "
+        f"{sorted(set(dropped))} — these pairs will NOT collide. Supported "
+        f"pairs: {sorted(_PAIR_SLOTS)}", stacklevel=2)
   return tuple(pairs)
 
 
@@ -311,6 +375,132 @@ def _box_capsule(geoms, ia, ib, kin):
   return [(pos, n, depth, depth > 0)]
 
 
+def _sphere_cylinder(geoms, ia, ib, kin):
+  """Sphere (A) vs flat-capped cylinder (B), exact exterior closest point.
+
+  In the cylinder frame the exterior closest point is (rho_dir * min(rho, r),
+  clip(z, -hl, hl)) — one formula covers side, cap face, and cap edge. A center
+  INSIDE the cylinder resolves along the smaller of side/cap penetration
+  (mirrors _sphere_box's interior branch)."""
+  ra = geoms.params[ia, 0]
+  r, hl = geoms.params[ib, 0], geoms.params[ib, 1]
+  _, ca = _geom_pose(geoms, ia, kin)
+  Rb, pb = _geom_pose(geoms, ib, kin)
+  d = Rb.T @ (ca - pb)
+  z = d[2]
+  rho_v = d.at[2].set(0.0)
+  rho = jnp.sqrt(jnp.sum(rho_v * rho_v) + 1e-18)
+  rho_dir = rho_v / rho
+
+  inside = (rho < r) & (jnp.abs(z) < hl)
+  # exterior closest point on the cylinder surface
+  cl_out = rho_dir * jnp.minimum(rho, r) + jnp.array([0.0, 0.0, 1.0], d.dtype) * (
+      jnp.clip(z, -hl, hl))
+  delta = d - cl_out
+  dist = jnp.sqrt(jnp.sum(delta * delta) + 1e-18)
+  n_out = delta / dist
+  # interior: min-penetration push-out (side vs nearest cap)
+  pen_side = r - rho
+  pen_cap = hl - jnp.abs(z)
+  side_wins = pen_side <= pen_cap
+  n_in = jnp.where(side_wins, rho_dir,
+                   jnp.array([0.0, 0.0, 1.0], d.dtype) * jnp.sign(z))
+  cl_in = jnp.where(side_wins, rho_dir * r + jnp.array([0.0, 0.0, 1.0], d.dtype) * z,
+                    rho_v + jnp.array([0.0, 0.0, 1.0], d.dtype) * jnp.sign(z) * hl)
+  n_local = jnp.where(inside, n_in, n_out)
+  depth = jnp.where(inside, ra + jnp.minimum(pen_side, pen_cap), ra - dist)
+  surf = jnp.where(inside, cl_in, cl_out)
+  n = Rb @ n_local                       # B -> A (cylinder toward sphere)
+  pos = pb + Rb @ surf
+  return [(pos, n, depth, depth > 0)]
+
+
+def _cylinder_plane(geoms, ia, ib, kin):
+  """Cylinder (A) vs plane (B): 3 rim points per cap (6 static slots).
+
+  Per cap, the rim is sampled at the downhill direction (the rim point deepest
+  below the plane) and +-120 deg around it — tilted caps give 1-2 point rim
+  contact, a lying cylinder gives the 2-endpoint line contact (one downhill
+  point per cap), and an upright cylinder (downhill direction degenerate)
+  falls back to a fixed body-frame direction, giving a stable 3-point face
+  manifold. RaiSim dispatches ODE's dCylinder collider here (SURVEY.md C6);
+  the static-slot sampling replaces its variable-count manifold."""
+  r, hl = geoms.params[ia, 0], geoms.params[ia, 1]
+  h = geoms.params[ib, 0]
+  Ra, pa = _geom_pose(geoms, ia, kin)
+  dtype = pa.dtype
+  a = Ra[:, 2]
+  nz = jnp.array([0.0, 0.0, 1.0], dtype)
+  # downhill rim direction: -(z projected off the axis), normalized
+  radial = nz - jnp.dot(nz, a) * a
+  rn = jnp.sqrt(jnp.sum(radial * radial))
+  degenerate = rn < 1e-6                 # axis vertical: face contact
+  u = jnp.where(degenerate, Ra[:, 0], -radial / jnp.where(degenerate, 1.0, rn))
+  u = u / jnp.sqrt(jnp.sum(u * u) + 1e-18)
+  w = jnp.cross(a, u)
+  out = []
+  for s in (-1.0, 1.0):
+    c = pa + a * (s * hl)
+    for phi in (0.0, 2.0943951, -2.0943951):          # 0, +-120 deg
+      d = float(np.cos(phi)) * u + float(np.sin(phi)) * w
+      pt = c + r * d
+      depth = h - pt[2]
+      out.append((pt, nz, depth, depth > 0))
+  return out
+
+
+def _mesh_world_verts(geoms, gi, kin):
+  """(MAX_MESH_VERTS, 3) hull vertices in world frame. The geom offset is baked
+  into mesh_verts at build time (build_geom_table), so only the body pose
+  applies here; padded rows repeat vertex 0 and are masked by mesh_vcount."""
+  b = geoms.body[gi]
+  V = geoms.mesh_verts[gi]
+  if b < 0:
+    return V
+  return kin.p[b][None, :] + V @ kin.R[b].T
+
+
+def _vert_mask(geoms, gi, dtype):
+  n = geoms.mesh_vcount[gi]
+  return (np.arange(MAX_MESH_VERTS) < n).astype(bool)
+
+
+def _mesh_plane(geoms, ia, ib, kin):
+  """Convex mesh (A) vs plane (B): the 4 deepest hull vertices (static slots).
+  Vertex-sampled narrow phase — exact for flat-face rests on the plane."""
+  h = geoms.params[ib, 0]
+  V = _mesh_world_verts(geoms, ia, kin)
+  mask = jnp.asarray(_vert_mask(geoms, ia, V.dtype))
+  depths = jnp.where(mask, h - V[:, 2], -jnp.inf)
+  top_d, top_i = jax.lax.top_k(depths, 4)
+  nz = jnp.array([0.0, 0.0, 1.0], V.dtype)
+  out = []
+  for k in range(4):
+    pt = V[top_i[k]]
+    d = top_d[k]
+    out.append((pt, nz, d, d > 0))
+  return out
+
+
+def _sphere_mesh(geoms, ia, ib, kin):
+  """Sphere (A) vs convex mesh (B), vertex-sampled: the hull vertex nearest the
+  sphere center stands in for the support point (exact when contact lands on a
+  vertex; conservative on faces/edges — documented C6 approximation)."""
+  ra = geoms.params[ia, 0]
+  _, ca = _geom_pose(geoms, ia, kin)
+  V = _mesh_world_verts(geoms, ib, kin)
+  mask = jnp.asarray(_vert_mask(geoms, ib, V.dtype))
+  d2 = jnp.sum((V - ca[None]) ** 2, axis=1)
+  d2 = jnp.where(mask, d2, jnp.inf)
+  i = jnp.argmin(d2)
+  q = V[i]
+  delta = ca - q
+  dist = jnp.sqrt(jnp.sum(delta * delta) + 1e-18)
+  n = delta / dist                        # B -> A
+  depth = ra - dist
+  return [(q, n, depth, depth > 0)]
+
+
 def _onehot_min(x):
   """One-hot (first) argmin of a small 1-D vector, gather-free."""
   n = x.shape[0]
@@ -472,13 +662,21 @@ def geom_aabb(geoms: GeomTable, gi: int, kin):
   elif gt == GEOM_CYLINDER:
     r, hl = geoms.params[gi, 0], geoms.params[gi, 1]
     e = jnp.abs(R[:, 2]) * hl + r
+  elif gt == GEOM_MESH:
+    V = _mesh_world_verts(geoms, gi, kin)
+    mask = jnp.asarray(_vert_mask(geoms, gi, p.dtype))[:, None]
+    lo = jnp.min(jnp.where(mask, V, _AABB_BIG), axis=0)
+    hi = jnp.max(jnp.where(mask, V, -_AABB_BIG), axis=0)
+    return lo, hi
   else:
     return (jnp.full((3,), -_AABB_BIG, dtype), jnp.full((3,), _AABB_BIG, dtype))
   return p - e, p + e
 
 
 def broadphase_mask(geoms: GeomTable, pairs: tuple, kin, margin: float = 0.0):
-  """(n_pairs,) bool: AABB overlap per candidate pair.
+  """Per-pair AABB overlap gate: True (python, zero ops) for pairs against
+  unbounded geoms (plane/heightmap — they always overlap), a traced bool
+  otherwise.
 
   The TPU-native replacement for the reference's dynamic AABB pruning: the pair
   LIST stays static (shapes never change under jit); the broad phase instead
@@ -489,7 +687,11 @@ def broadphase_mask(geoms: GeomTable, pairs: tuple, kin, margin: float = 0.0):
   """
   los, his = {}, {}
   masks = []
+  unbounded = (GEOM_PLANE, GEOM_HEIGHTMAP)
   for ia, ib in pairs:
+    if geoms.gtype[ia] in unbounded or geoms.gtype[ib] in unbounded:
+      masks.append(True)                 # static: no AABB ops emitted at all
+      continue
     for g in (ia, ib):
       if g not in los:
         los[g], his[g] = geom_aabb(geoms, g, kin)
@@ -497,18 +699,96 @@ def broadphase_mask(geoms: GeomTable, pairs: tuple, kin, margin: float = 0.0):
     lo_b, hi_b = los[ib], his[ib]
     ok = jnp.all((lo_a <= hi_b + margin) & (lo_b <= hi_a + margin))
     masks.append(ok)
-  return jnp.stack(masks) if masks else jnp.zeros((0,), jnp.bool_)
+  return masks
+
+
+def _group_poses(geoms: GeomTable, idxs, kin):
+  """Batched world poses for a same-type geom group: (m,3,3) R, (m,3) p in TWO
+  gathers (all group members must be body-attached; static bodies unsupported
+  here — the caller only groups dynamic-vs-plane pairs)."""
+  bodies = np.array([geoms.body[g] for g in idxs])
+  assert (bodies >= 0).all()
+  gi = jnp.asarray(np.array(idxs))
+  Rb = kin.R[jnp.asarray(bodies)]
+  pb = kin.p[jnp.asarray(bodies)]
+  R = jnp.einsum("mij,mjk->mik", Rb, geoms.offset_rot[gi])
+  p = pb + jnp.einsum("mij,mj->mi", Rb, geoms.offset_pos[gi])
+  return R, p
+
+
+def _b_sphere_plane(geoms, members, kin):
+  """Batched sphere-vs-plane: all pairs in ~4 ops (vs ~8 ops per pair)."""
+  idx_a = [ia for ia, _ in members]
+  r = geoms.params[jnp.asarray(np.array(idx_a)), 0]            # (m,)
+  h = geoms.params[jnp.asarray(np.array([ib for _, ib in members])), 0]
+  _, c = _group_poses(geoms, idx_a, kin)
+  dtype = c.dtype
+  n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype), c.shape)
+  depth = (h + r) - c[:, 2]
+  pos = c - r[:, None] * n
+  return pos, n, depth, depth > 0
+
+
+def _b_capsule_plane(geoms, members, kin):
+  """Batched capsule-vs-plane; slot order per pair matches _capsule_plane."""
+  idx_a = [ia for ia, _ in members]
+  gi = jnp.asarray(np.array(idx_a))
+  r = geoms.params[gi, 0]
+  hl = geoms.params[gi, 1]
+  h = geoms.params[jnp.asarray(np.array([ib for _, ib in members])), 0]
+  R, p = _group_poses(geoms, idx_a, kin)
+  dtype = p.dtype
+  axis = R[:, :, 2]                                            # (m, 3)
+  signs = jnp.asarray([-1.0, 1.0], dtype)
+  ends = p[:, None, :] + axis[:, None, :] * (signs[None, :, None] * hl[:, None, None])
+  n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype), ends.shape)
+  depth = (h[:, None] + r[:, None]) - ends[:, :, 2]            # (m, 2)
+  pos = ends - r[:, None, None] * n
+  m = len(members)
+  return (pos.reshape(2 * m, 3), n.reshape(2 * m, 3),
+          depth.reshape(2 * m), depth.reshape(2 * m) > 0)
+
+
+def _b_box_plane(geoms, members, kin):
+  """Batched box-vs-plane; corner order per pair matches _box_plane."""
+  idx_a = [ia for ia, _ in members]
+  gi = jnp.asarray(np.array(idx_a))
+  he = geoms.params[gi, :3]                                    # (m, 3)
+  h = geoms.params[jnp.asarray(np.array([ib for _, ib in members])), 0]
+  R, p = _group_poses(geoms, idx_a, kin)
+  dtype = p.dtype
+  signs = np.array([[sx, sy, sz] for sx in (-1.0, 1.0)
+                    for sy in (-1.0, 1.0) for sz in (-1.0, 1.0)])
+  S = jnp.asarray(signs, dtype)                                # (8, 3)
+  corners = p[:, None, :] + jnp.einsum(
+      "mij,mkj->mki", R, he[:, None, :] * S[None, :, :])       # (m, 8, 3)
+  n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], dtype), corners.shape)
+  depth = h[:, None] - corners[:, :, 2]                        # (m, 8)
+  m = len(members)
+  return (corners.reshape(8 * m, 3), n.reshape(8 * m, 3),
+          depth.reshape(8 * m), depth.reshape(8 * m) > 0)
+
+
+# pair types with a grouped (all-pairs-in-a-few-ops) narrow phase
+_BATCHED = {
+    (GEOM_SPHERE, GEOM_PLANE): (_b_sphere_plane, 1),
+    (GEOM_CAPSULE, GEOM_PLANE): (_b_capsule_plane, 2),
+    (GEOM_BOX, GEOM_PLANE): (_b_box_plane, 8),
+}
 
 
 def collide(geoms: GeomTable, pairs: tuple, kin, heightmap=None) -> ContactSet:
-  """Run all pair kernels; assemble the padded ContactSet."""
-  from raisimlib_tpu.ops import heightmap as hm
+  """Run all pair kernels; assemble the padded ContactSet.
 
-  pos_l: List = []
-  nrm_l: List = []
-  dep_l: List = []
-  act_l: List = []
-  body_a, body_b, mat_a, mat_b = [], [], [], []
+  Pair types in _BATCHED run GROUPED: every pair of that type is computed by
+  one vectorized core (a handful of ops for the whole group) instead of a
+  per-pair op chain — on the remote TPU the assembly phase is dispatch-latency
+  bound, so op count is what matters (round-3 profile). The computed slots are
+  concatenated group-first and restored to the canonical per-pair slot order
+  by ONE static permutation gather, so solver row order (and thus Gauss-Seidel
+  sweep order, goldens, row kinds) is bit-identical to the per-pair path.
+  """
+  from raisimlib_tpu.ops import heightmap as hm
 
   dispatch = {
       (GEOM_SPHERE, GEOM_PLANE): _sphere_plane,
@@ -520,41 +800,90 @@ def collide(geoms: GeomTable, pairs: tuple, kin, heightmap=None) -> ContactSet:
       (GEOM_CAPSULE, GEOM_PLANE): _capsule_plane,
       (GEOM_CAPSULE, GEOM_CAPSULE): _capsule_capsule,
       (GEOM_BOX, GEOM_CAPSULE): _box_capsule,
+      (GEOM_SPHERE, GEOM_CYLINDER): _sphere_cylinder,
+      (GEOM_CYLINDER, GEOM_PLANE): _cylinder_plane,
+      (GEOM_SPHERE, GEOM_MESH): _sphere_mesh,
+      (GEOM_MESH, GEOM_PLANE): _mesh_plane,
   }
 
-  bp = broadphase_mask(geoms, pairs, kin) if pairs else None
+  bp = broadphase_mask(geoms, pairs, kin) if pairs else []
 
+  # canonical slot layout (original per-pair order) + static metadata
+  slot_of_pair = []
+  body_a, body_b, mat_a, mat_b = [], [], [], []
+  total = 0
+  for ia, ib in pairs:
+    ns = _PAIR_SLOTS[tuple(sorted((geoms.gtype[ia], geoms.gtype[ib])))]
+    slot_of_pair.append(total)
+    total += ns
+    body_a += [geoms.body[ia]] * ns
+    body_b += [geoms.body[ib]] * ns
+    mat_a += [geoms.material[ia]] * ns
+    mat_b += [geoms.material[ib]] * ns
+
+  # split pairs into grouped vs per-pair work
+  groups = {}
+  singles = []
   for pi, (ia, ib) in enumerate(pairs):
+    key = (geoms.gtype[ia], geoms.gtype[ib])
+    if key in _BATCHED and geoms.body[ia] >= 0:
+      groups.setdefault(key, []).append((pi, ia, ib))
+    else:
+      singles.append((pi, ia, ib))
+
+  pos_chunks, nrm_chunks, dep_chunks, act_chunks = [], [], [], []
+  computed_slots = []                     # canonical slot index per computed row
+
+  for key, entries in groups.items():
+    fn, ns = _BATCHED[key]
+    members = [(ia, ib) for _, ia, ib in entries]
+    pos, nrm, dep, val = fn(geoms, members, kin)
+    # grouped types are all vs plane: broadphase is statically True
+    pos_chunks.append(pos)
+    nrm_chunks.append(nrm)
+    dep_chunks.append(dep)
+    act_chunks.append(val)
+    for pi, _, _ in entries:
+      computed_slots += list(range(slot_of_pair[pi], slot_of_pair[pi] + ns))
+
+  for pi, ia, ib in singles:
     ta, tb = geoms.gtype[ia], geoms.gtype[ib]
     if tb == GEOM_HEIGHTMAP:
       assert heightmap is not None, "scene has heightmap pairs but no heightmap data"
       results = hm.collide_heightmap(geoms, ia, kin, heightmap)
     else:
       results = dispatch[(ta, tb)](geoms, ia, ib, kin)
-    results = [(pos, n, depth, valid & bp[pi]) for pos, n, depth, valid in results]
-    for pos, n, depth, valid in results:
-      pos_l.append(pos)
-      nrm_l.append(n)
-      dep_l.append(depth)
-      act_l.append(valid)
-      body_a.append(geoms.body[ia])
-      body_b.append(geoms.body[ib])
-      mat_a.append(geoms.material[ia])
-      mat_b.append(geoms.material[ib])
+    m = bp[pi]
+    for si, (pos, n, depth, valid) in enumerate(results):
+      pos_chunks.append(pos[None])
+      nrm_chunks.append(n[None])
+      dep_chunks.append(depth[None])
+      act_chunks.append(jnp.asarray(valid & m)[None] if m is not True
+                        else jnp.asarray(valid)[None])
+      computed_slots.append(slot_of_pair[pi] + si)
 
-  if not pos_l:  # no candidate pairs: one inert slot keeps shapes static
-    z3 = jnp.zeros(3, dtype=kin.p.dtype)
-    pos_l, nrm_l = [z3], [jnp.array([0.0, 0.0, 1.0], dtype=kin.p.dtype)]
-    dep_l, act_l = [jnp.zeros((), kin.p.dtype)], [jnp.zeros((), jnp.bool_)]
-    body_a, body_b, mat_a, mat_b = [-1], [-1], [0], [0]
+  if not pos_chunks:  # no candidate pairs: one inert slot keeps shapes static
+    dtype = kin.p.dtype
+    return ContactSet(
+        pos=jnp.zeros((1, 3), dtype),
+        normal=jnp.asarray([[0.0, 0.0, 1.0]], dtype),
+        depth=jnp.zeros((1,), dtype),
+        active=jnp.zeros((1,), dtype),
+        body_a=(-1,), body_b=(-1,), mat_a=(0,), mat_b=(0,))
+
+  pos = jnp.concatenate(pos_chunks, axis=0)
+  nrm = jnp.concatenate(nrm_chunks, axis=0)
+  dep = jnp.concatenate(dep_chunks, axis=0)
+  act = jnp.concatenate([a.astype(kin.p.dtype) for a in act_chunks], axis=0)
+
+  # restore canonical order with one static permutation: perm[slot] = computed row
+  perm = np.zeros(total, dtype=np.int32)
+  perm[np.array(computed_slots)] = np.arange(total)
+  if not np.array_equal(perm, np.arange(total)):
+    idx = jnp.asarray(perm)
+    pos, nrm, dep, act = pos[idx], nrm[idx], dep[idx], act[idx]
 
   return ContactSet(
-      pos=jnp.stack(pos_l),
-      normal=jnp.stack(nrm_l),
-      depth=jnp.stack(dep_l),
-      active=jnp.stack([jnp.asarray(a, dtype=kin.p.dtype) for a in act_l]),
-      body_a=tuple(body_a),
-      body_b=tuple(body_b),
-      mat_a=tuple(mat_a),
-      mat_b=tuple(mat_b),
-  )
+      pos=pos, normal=nrm, depth=dep, active=act,
+      body_a=tuple(body_a), body_b=tuple(body_b),
+      mat_a=tuple(mat_a), mat_b=tuple(mat_b))

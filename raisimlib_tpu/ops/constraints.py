@@ -112,7 +112,7 @@ def _dof_to_q(model, j: int) -> int:
   from raisimlib_tpu.models.model import JointType
 
   for i in range(model.nb):
-    if JointType(model.joint_types[i]) == JointType.FREE:
+    if JointType(model.joint_types[i]) in (JointType.FREE, JointType.SPHERICAL):
       continue
     if model.v_adr[i] == j:
       return model.q_adr[i]

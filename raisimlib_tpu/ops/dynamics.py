@@ -76,6 +76,16 @@ def _joint_X_and_S(model: RobotModel, i: int, q):
     E = jnp.eye(3, dtype=dtype)
     r = a * d
     S = jnp.concatenate([jnp.zeros(3, dtype=dtype), a])[None, :]
+  elif jt == JointType.SPHERICAL:
+    # ball joint (SURVEY.md C2): q = quat wxyz (child -> joint frame),
+    # u = omega in CHILD body coords — constant S = [I3 | 0] in body frame,
+    # so cJ = 0 (same structure as the FREE joint's angular block)
+    quat = q[qa : qa + 4]
+    R = sp.quat_to_mat(quat)
+    E = R.T
+    r = jnp.zeros(3, dtype=dtype)
+    Z3 = jnp.zeros((3, 3), dtype=dtype)
+    S = jnp.concatenate([jnp.eye(3, dtype=dtype), Z3], axis=1)
   else:
     raise NotImplementedError(jt)
   return (E, r), S
@@ -111,7 +121,179 @@ def _joint_cj(model: RobotModel, i: int, vJ):
 
 
 def fk(model: RobotModel, q: jnp.ndarray, u: jnp.ndarray | None = None) -> KinData:
-  """Forward kinematics: world poses, world-frame dof subspaces, body twists."""
+  """Forward kinematics: world poses, world-frame dof subspaces, body twists.
+
+  Uses the per-body sequential recursion (fk_reference). A level-parallel
+  variant exists (`fk_levels`) that batches bodies of equal tree depth into
+  grouped contractions — measured SLOWER on the v5e chip (3.0 -> 3.7 ms/step
+  on the B=2048 ANYmal step): its static-index gathers/permutations lower to
+  expensive data movement that outweighs the saved op dispatches. Kept (with a
+  round-off parity test) as the starting point for a future in-kernel FK.
+  """
+  return fk_reference(model, q, u)
+
+
+def fk_levels(model: RobotModel, q: jnp.ndarray,
+              u: jnp.ndarray | None = None) -> KinData:
+  """Level-parallel FK (see fk's docstring for the measured tradeoff)."""
+  return _fk_levels(model, q, u)
+
+
+def _fk_schedule(model: RobotModel):
+  """Static schedule: [level0, level1, ...], each level a list of
+  (joint_type, [body indices]) groups; plus body -> accumulation position."""
+  from raisimlib_tpu.models.model import JointType
+
+  nb = model.nb
+  depth = [0] * nb
+  for i in range(nb):
+    p = model.parent[i]
+    depth[i] = 0 if p < 0 else depth[p] + 1
+  levels = []
+  acc_pos = [0] * nb
+  pos = 0
+  for d in range(max(depth) + 1 if nb else 0):
+    members = [i for i in range(nb) if depth[i] == d]
+    groups = {}
+    for i in members:
+      groups.setdefault(JointType(model.joint_types[i]), []).append(i)
+    level = []
+    for jt, idxs in sorted(groups.items()):
+      level.append((jt, idxs))
+      for i in idxs:
+        acc_pos[i] = pos
+        pos += 1
+    levels.append(level)
+  return levels, acc_pos
+
+
+def _axis_angle_mats(axes, angs):
+  """Batched Rodrigues: (m,3) unit axes + (m,) angles -> (m,3,3) rotations."""
+  K = sp.skew(axes)
+  s = jnp.sin(angs)[:, None, None]
+  c = jnp.cos(angs)[:, None, None]
+  I = jnp.eye(3, dtype=axes.dtype)[None]
+  return I + s * K + (1.0 - c) * (K @ K)
+
+
+def _fk_levels(model: RobotModel, q: jnp.ndarray, u: jnp.ndarray | None) -> KinData:
+  from raisimlib_tpu.models.model import JointType, joint_nv
+
+  nb = model.nb
+  dtype = q.dtype
+  if u is None:
+    u = jnp.zeros((model.nv,), dtype=dtype)
+  levels, acc_pos = _fk_schedule(model)
+
+  E_acc = None        # (n_done, 3, 3) world->body rotations, accumulation order
+  r_acc = None        # (n_done, 3)    body origins in world
+  upE_chunks, upr_chunks = [], []
+  S_chunks, S_dofs = [], []    # body-frame subspace rows + their dof indices
+
+  for level in levels:
+    lev_E, lev_r = [], []
+    for jt, idxs in level:
+      m = len(idxs)
+      ii = jnp.asarray(np.array(idxs))
+      Xr = model.X_rot[ii].astype(dtype)              # (m,3,3) parent->child at q=0
+      Xp = model.X_pos[ii].astype(dtype)
+      qa = np.array([model.q_adr[i] for i in idxs])
+      Z = jnp.zeros((m, 3), dtype)
+      I3 = jnp.eye(3, dtype=dtype)
+
+      if jt == JointType.REVOLUTE:
+        axes = model.axis[ii].astype(dtype)
+        angs = q[jnp.asarray(qa)]
+        R = _axis_angle_mats(axes, angs)              # body->joint frame
+        EJ = jnp.swapaxes(R, -1, -2)
+        rJ = Z
+        S_chunks.append(jnp.concatenate([axes, Z], axis=1)[:, None, :])
+      elif jt == JointType.PRISMATIC:
+        axes = model.axis[ii].astype(dtype)
+        d = q[jnp.asarray(qa)]
+        EJ = jnp.broadcast_to(I3[None], (m, 3, 3))
+        rJ = axes * d[:, None]
+        S_chunks.append(jnp.concatenate([Z, axes], axis=1)[:, None, :])
+      elif jt == JointType.SPHERICAL:
+        quats = q[jnp.asarray(qa[:, None] + np.arange(4)[None, :])]
+        R = sp.quat_to_mat(quats)
+        EJ = jnp.swapaxes(R, -1, -2)
+        rJ = Z
+        S_chunks.append(jnp.concatenate(
+            [jnp.broadcast_to(I3[None], (m, 3, 3)),
+             jnp.zeros((m, 3, 3), dtype)], axis=2))
+      elif jt == JointType.FREE:
+        quats = q[jnp.asarray(qa[:, None] + 3 + np.arange(4)[None, :])]
+        R = sp.quat_to_mat(quats)                     # body->world
+        EJ = jnp.swapaxes(R, -1, -2)
+        rJ = q[jnp.asarray(qa[:, None] + np.arange(3)[None, :])]
+        # S = [[I3, 0], [0, R]]: u = [omega_body, v_world]
+        Srows = jnp.zeros((m, 6, 6), dtype)
+        Srows = Srows.at[:, :3, :3].set(I3[None])
+        Srows = Srows.at[:, 3:, 3:].set(R)
+        S_chunks.append(Srows)
+      else:
+        raise NotImplementedError(jt)
+      for i in idxs:
+        va = model.v_adr[i]
+        S_dofs += list(range(va, va + joint_nv(jt)))
+
+      # Xup = compose(X_J, X_tree): E = EJ @ Xr^T;  r = Xp + Xr @ rJ
+      upE = jnp.einsum("mij,mkj->mik", EJ, Xr)
+      upr = Xp + jnp.einsum("mij,mj->mi", Xr, rJ)
+      upE_chunks.append(upE)
+      upr_chunks.append(upr)
+
+      parents = np.array([model.parent[i] for i in idxs])
+      if (parents < 0).all():
+        E0, r0 = upE, upr
+      else:
+        pp = jnp.asarray(np.array([acc_pos[p] for p in parents]))
+        Ep = E_acc[pp]
+        rp = r_acc[pp]
+        # compose(Xup, X0_parent): E = upE @ Ep;  r = rp + Ep^T @ upr
+        E0 = jnp.einsum("mij,mjk->mik", upE, Ep)
+        r0 = rp + jnp.einsum("mji,mj->mi", Ep, upr)
+      lev_E.append(E0)
+      lev_r.append(r0)
+    newE = jnp.concatenate(lev_E, axis=0)
+    newr = jnp.concatenate(lev_r, axis=0)
+    E_acc = newE if E_acc is None else jnp.concatenate([E_acc, newE], axis=0)
+    r_acc = newr if r_acc is None else jnp.concatenate([r_acc, newr], axis=0)
+
+  # restore body order with one static permutation
+  perm = np.zeros(nb, dtype=np.int32)
+  for i in range(nb):
+    perm[i] = acc_pos[i]
+  pi = jnp.asarray(perm)
+  E0 = E_acc[pi]                                      # (nb,3,3) world->body
+  r0 = r_acc[pi]
+  upE = jnp.concatenate(upE_chunks, axis=0)[pi]
+  upr = jnp.concatenate(upr_chunks, axis=0)[pi]
+
+  # world-frame subspace rows for ALL dofs in one batched transform
+  S_body = jnp.concatenate([c.reshape(-1, 6) for c in S_chunks], axis=0)
+  dperm = np.zeros(model.nv, dtype=np.int32)
+  dperm[np.array(S_dofs)] = np.arange(model.nv)
+  S_body = S_body[jnp.asarray(dperm)]
+  dof_body = jnp.asarray(_dof_body_map(model))
+  Ed = E0[dof_body]                                   # (nv,3,3)
+  rd = r0[dof_body]
+  w_w = jnp.einsum("ja,jab->jb", S_body[:, :3], Ed)
+  v_w = jnp.einsum("ja,jab->jb", S_body[:, 3:], Ed) + jnp.cross(rd, w_w)
+  S_w = jnp.concatenate([w_w, v_w], axis=1)
+
+  mask = jnp.asarray(ancestor_dof_mask(model), dtype=dtype)
+  vel6 = jnp.einsum("bj,jk->bk", mask, S_w * u[:, None])
+
+  return KinData(R=jnp.swapaxes(E0, -1, -2), p=r0, S_w=S_w, vel6=vel6,
+                 Xup_E=upE, Xup_r=upr)
+
+
+def fk_reference(model: RobotModel, q: jnp.ndarray,
+                 u: jnp.ndarray | None = None) -> KinData:
+  """Per-body sequential FK — the readable reference implementation the
+  level-parallel `fk` is tested against."""
   nb = model.nb
   dtype = q.dtype
   if u is None:
@@ -165,12 +347,14 @@ def point_velocity(kin: KinData, body: int, pt_w: jnp.ndarray) -> jnp.ndarray:
 def ancestor_dof_mask(model: RobotModel) -> np.ndarray:
   """(nb, nv) static 0/1 mask: dof j moves body b iff j's body is an ancestor-or-self."""
   nb, nv = model.nb, model.nv
+  from raisimlib_tpu.models.model import joint_nv
+
   mask = np.zeros((nb, nv), dtype=np.float64)
   for b in range(nb):
     k = b
     while k >= 0:
       va = model.v_adr[k]
-      nd = 6 if JointType(model.joint_types[k]) == JointType.FREE else 1
+      nd = joint_nv(model.joint_types[k])
       mask[b, va : va + nd] = 1.0
       k = model.parent[k]
   return mask
@@ -257,6 +441,70 @@ def nonlinearities(model, q, u, gravity, f_ext_w=None):
   return rnea(model, q, u, jnp.zeros((model.nv,), dtype=q.dtype), gravity, f_ext_w)
 
 
+def _dof_body_map(model: RobotModel) -> np.ndarray:
+  """(nv,) static map: dof index -> owning body index."""
+  from raisimlib_tpu.models.model import joint_nv
+
+  m = np.zeros(model.nv, dtype=np.int32)
+  for i in range(model.nb):
+    nd = joint_nv(model.joint_types[i])
+    m[model.v_adr[i] : model.v_adr[i] + nd] = i
+  return m
+
+
+def _sdot_mask(model: RobotModel) -> np.ndarray:
+  """(nv,) static: 1 where Sdot_w = v_body x_m S_w holds, 0 where S_w is
+  CONSTANT in world coords (only the FREE joint's world-linear dofs)."""
+  from raisimlib_tpu.models.model import JointType, joint_nv
+
+  m = np.ones(model.nv)
+  for i in range(model.nb):
+    if JointType(model.joint_types[i]) == JointType.FREE:
+      m[model.v_adr[i] + 3 : model.v_adr[i] + 6] = 0.0
+  return m
+
+
+def nonlinearities_w(model, q, u, gravity, kin: KinData | None = None,
+                     f_ext_w=None):
+  """h(q,u) as batched world-frame einsums — the bias-force analog of crba_w.
+
+  RNEA's two per-body recursions become four stacked contractions, using the
+  world-@-origin identities (all quantities share one frame, so the Xform
+  compositions vanish):
+
+      Sdot_w[j] = v_w[body(j)] x_m S_w[j]        (0 for FREE linear dofs,
+                                                  whose S_w is constant)
+      a_w[b]    = [0; -g] + sum_{j in anc(b)} Sdot_w[j] u_j     (qdd = 0)
+      f_w[b]    = I_w[b] a_w[b] + v_w[b] x* (I_w[b] v_w[b]) - f_ext_w[b]
+      h[j]      = S_w[j] . sum_{b : j in anc(b)} f_w[b]
+
+  Exactly equal to `nonlinearities` (tested to f64 round-off in
+  tests/test_dynamics.py). NOT used on the hot path: measured ~1 ms/step
+  slower than the recursion at B=2048 on the v5e (its dof->body gathers lower
+  to expensive data movement — same finding as fk_levels). Kept as the
+  oracle-tested starting point for a future in-kernel formulation.
+  Pass `kin` to reuse FK products."""
+  if kin is None:
+    kin = fk(model, q, u)
+  dtype = q.dtype
+  mask = jnp.asarray(ancestor_dof_mask(model), dtype=dtype)   # (nb, nv)
+  dof_body = jnp.asarray(_dof_body_map(model))
+  sdm = jnp.asarray(_sdot_mask(model), dtype=dtype)
+
+  vb = kin.vel6[dof_body]                                     # (nv, 6)
+  Sd = sp.cross_motion(vb, kin.S_w) * sdm[:, None]            # (nv, 6)
+  a0 = jnp.concatenate([jnp.zeros(3, dtype), -gravity.astype(dtype)])
+  a = a0[None, :] + jnp.einsum("bj,jk->bk", mask, Sd * u[:, None])  # (nb, 6)
+
+  Iw = inertia_world(model, kin)                              # (nb, 6, 6)
+  Iv = jnp.einsum("bij,bj->bi", Iw, kin.vel6)
+  f = jnp.einsum("bij,bj->bi", Iw, a) + sp.cross_force(kin.vel6, Iv)
+  if f_ext_w is not None:
+    f = f - f_ext_w
+  fsum = jnp.einsum("bj,bk->jk", mask, f)                     # (nv, 6)
+  return jnp.sum(kin.S_w * fsum, axis=1)
+
+
 # ---------------------------------------------------------------------------
 # CRBA — joint-space mass matrix
 # ---------------------------------------------------------------------------
@@ -300,13 +548,12 @@ def inertia_world(model: RobotModel, kin: KinData) -> jnp.ndarray:
 
   I_w = X^T I_b X with X the world->body motion transform (E = R^T, r = p), so
   KE = 1/2 v_w^T I_w v_w for the world-frame twist referenced at the origin.
-  """
+  Batched over bodies (xform_motion_mat/skew broadcast) — one congruence
+  einsum instead of a per-body op chain."""
   dtype = kin.p.dtype
-  Is = []
-  for i in range(model.nb):
-    Xm = sp.xform_motion_mat((kin.R[i].T, kin.p[i]))
-    Is.append(Xm.T @ model.inertia[i].astype(dtype) @ Xm)
-  return jnp.stack(Is)
+  Xm = sp.xform_motion_mat((jnp.swapaxes(kin.R, -1, -2), kin.p))  # (nb, 6, 6)
+  I = model.inertia.astype(dtype)
+  return jnp.einsum("bji,bjk,bkl->bil", Xm, I, Xm)
 
 
 def crba_w(model: RobotModel, q: jnp.ndarray, kin: KinData | None = None):
@@ -433,6 +680,11 @@ def integrate_q(model: RobotModel, q: jnp.ndarray, u: jnp.ndarray, dt) -> jnp.nd
       quat_new = sp.quat_integrate(quat, R @ w_b, dt)
       out = out.at[qa : qa + 3].set(pos_new)
       out = out.at[qa + 3 : qa + 7].set(quat_new)
+    elif jt == JointType.SPHERICAL:
+      quat = q[qa : qa + 4]
+      w_b = u[va : va + 3]                  # child-body angular velocity
+      R = sp.quat_to_mat(quat)
+      out = out.at[qa : qa + 4].set(sp.quat_integrate(quat, R @ w_b, dt))
     else:
       out = out.at[qa].set(q[qa] + u[va] * dt)
   return out

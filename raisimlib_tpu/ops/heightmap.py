@@ -125,6 +125,56 @@ def _box_hm(geoms, gi, kin, field):
   return out
 
 
+def _cylinder_hm(geoms, gi, kin, field):
+  """Cylinder vs heightfield: the same 6 rim points as the plane kernel
+  (downhill + +-120 deg per cap), each tested against the local surface
+  triangle below it via _point_contact (r=0: the rim point itself)."""
+  import numpy as np
+
+  from raisimlib_tpu.ops.collision import _geom_pose
+
+  r, hl = geoms.params[gi, 0], geoms.params[gi, 1]
+  R, p = _geom_pose(geoms, gi, kin)
+  dtype = p.dtype
+  a = R[:, 2]
+  nz = jnp.array([0.0, 0.0, 1.0], dtype)
+  radial = nz - jnp.dot(nz, a) * a
+  rn = jnp.sqrt(jnp.sum(radial * radial))
+  degenerate = rn < 1e-6
+  u = jnp.where(degenerate, R[:, 0], -radial / jnp.where(degenerate, 1.0, rn))
+  u = u / jnp.sqrt(jnp.sum(u * u) + 1e-18)
+  w = jnp.cross(a, u)
+  out = []
+  for s in (-1.0, 1.0):
+    c = p + a * (s * hl)
+    for phi in (0.0, 2.0943951, -2.0943951):
+      d = float(np.cos(phi)) * u + float(np.sin(phi)) * w
+      out.append(_point_contact(field, c + r * d, jnp.zeros((), dtype)))
+  return out
+
+
+def _mesh_hm(geoms, gi, kin, field):
+  """Convex mesh vs heightfield: the 4 hull vertices deepest below their local
+  surface triangle (static slots; vertex-sampled as in collision._mesh_plane)."""
+  from raisimlib_tpu.ops import collision as coll
+
+  V = coll._mesh_world_verts(geoms, gi, kin)
+  mask = jnp.asarray(coll._vert_mask(geoms, gi, V.dtype))
+  pcs = [_point_contact(field, V[k], jnp.zeros((), V.dtype))
+         for k in range(coll.MAX_MESH_VERTS)]
+  depths = jnp.stack([d for _, _, d, _ in pcs])
+  depths = jnp.where(mask, depths, -jnp.inf)
+  _, top_i = jax.lax.top_k(depths, 4)
+  pos = jnp.stack([p for p, _, _, _ in pcs])
+  nrm = jnp.stack([n for _, n, _, _ in pcs])
+  val = jnp.stack([v for _, _, _, v in pcs]) & mask
+  out = []
+  for k in range(4):
+    i = top_i[k]
+    out.append((pos[i], nrm[i], depths[i], val[i]))
+  return out
+
+
 def collide_heightmap(geoms, gi, kin, field: HeightField):
   """Narrow phase of geom `gi` vs the heightfield; fixed slot count per gtype."""
   from raisimlib_tpu.ops import collision as coll
@@ -136,4 +186,8 @@ def collide_heightmap(geoms, gi, kin, field: HeightField):
     return _capsule_hm(geoms, gi, kin, field)
   if t == coll.GEOM_BOX:
     return _box_hm(geoms, gi, kin, field)
+  if t == coll.GEOM_CYLINDER:
+    return _cylinder_hm(geoms, gi, kin, field)
+  if t == coll.GEOM_MESH:
+    return _mesh_hm(geoms, gi, kin, field)
   raise NotImplementedError(f"heightmap narrow phase for gtype {t}")

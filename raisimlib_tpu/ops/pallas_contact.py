@@ -310,6 +310,231 @@ def _solve_batch_impl(G, c0, mu, active, config: ct.SolverConfig):
   return jnp.transpose(lam[:, :nc_orig, :B], (2, 1, 0))   # (B, nc, 3)
 
 
+def _mf_kernel(Jr_ref, Wt_ref, vf_ref, bias_ref, mu_ref, act_ref,
+               u_ref, lam_ref, z_scr, *, nc, sweeps, n_grid, dtype, kinds=()):
+  """Matrix-free Gauss-Seidel dynamics solve for one batch tile (round 3).
+
+  The round-2 kernel consumed a pre-assembled Delassus G (B,nc,3,nc,3) — whose
+  XLA-side formation (73-column triangular solve + (72,72) matmul + 42 MB 5-D
+  layout transposes) dominated the measured step. This kernel instead takes the
+  FACTORS and never materializes G:
+
+    Jr_ref  (3*nc, nvp, T)  contact-frame row Jacobians (rows lead, dofs on
+                            sublanes padded to nvp, batch on lanes)
+    Wt_ref  (3*nc, nvp, T)  rows of J M^-1  (so column j of M^-1 J^T = Wt[j])
+    vf_ref  (nvp, T)        free velocity
+    bias_ref(3*nc, 1, T)    restitution/Baumgarte bias per row
+    mu_ref  (nc, 1, T), act_ref (nc, 1, T)
+
+  Invariant maintained through the sweeps: z = M^-1 J^T lam (nvp, T). Per
+  contact, (G lam)_i = Jr_i . z (three sublane reductions), and the final
+  velocity is simply u_new = v_free + z — the impulse application costs
+  nothing. Every extraction indexes LEADING dims only (Mosaic-safe); the only
+  reductions are over the nvp sublane axis.
+
+  Outputs: u_ref (nvp, T) new velocity; lam_ref (3, nc, T) impulses.
+  """
+  T = vf_ref.shape[-1]
+  zero = jnp.zeros((T,), dtype)
+
+  def row(ref, r):
+    return ref[r]                       # (nvp, T) slab, leading index
+
+  def dotv(a, b):
+    return jnp.sum(a * b, axis=0)       # sublane reduction -> (T,)
+
+  # ---- hoisted per-contact invariants ----
+  # NOTE: Jr/Wt row slabs are read from their refs AT USE SITE, never hoisted
+  # into python lists — holding 2*3nc live (nvp, T) values forces Mosaic into
+  # register/VMEM spills (measured: ~5x kernel slowdown). Only (T,)-sized
+  # scalars are hoisted.
+  vf = vf_ref[:, :]
+  ci0_all, Gii_all, mu_all, act_all = [], [], [], []
+  for i in range(nc):
+    kind = kinds[i] if kinds else "cone"
+    mu_all.append(mu_ref[i, 0, :])
+    act_all.append(act_ref[i, 0, :])
+    if kind == "lin":
+      # only the normal lane is ever used for frictionless unilateral rows
+      g22 = dotv(Jr_ref[3 * i + 2], Wt_ref[3 * i + 2])
+      Gii_all.append((None, None, None, None, None, g22))
+      ci0_all.append((None, None,
+                      dotv(Jr_ref[3 * i + 2], vf) - bias_ref[3 * i + 2, 0, :]))
+    else:
+      g = {}
+      for a in range(3):
+        for b in range(a, 3):
+          g[(a, b)] = dotv(Jr_ref[3 * i + a], Wt_ref[3 * i + b])
+      Gii_all.append((g[(0, 0)], g[(0, 1)], g[(0, 2)],
+                      g[(1, 1)], g[(1, 2)], g[(2, 2)]))
+      ci0_all.append(tuple(
+          dotv(Jr_ref[3 * i + a], vf) - bias_ref[3 * i + a, 0, :]
+          for a in range(3)))
+
+  # lam lives in the lam_ref output block and z in a scratch slot, mutated in
+  # place each sweep — NOT as fori_loop-carried values: carrying 3*nc lane
+  # vectors through the loop carry spills vector registers and measured 4.7x
+  # slower than the scratch pattern (which the round-2 kernel established).
+  iota_nc = jax.lax.broadcasted_iota(jnp.int32, (nc, T), 0)
+  onehots = [(iota_nc == i).astype(dtype) for i in range(nc)]
+  keeps = [1.0 - oh for oh in onehots]
+  lam_ref[:, :, :] = jnp.zeros((3, nc, T), dtype)
+  z_scr[:, :] = jnp.zeros_like(vf)
+
+  def sweep_body(_, carry):
+    for i in range(nc):
+      kind = kinds[i] if kinds else "cone"
+      g = Gii_all[i]
+      oh, keep = onehots[i], keeps[i]
+      z = z_scr[:, :]
+
+      if kind == "lin":
+        li2 = jnp.sum(lam_ref[2] * oh, axis=0)
+        c2 = ci0_all[i][2] + dotv(Jr_ref[3 * i + 2], z) - g[5] * li2
+        ln2 = jnp.maximum(-c2 / (g[5] + 1e-20), 0.0) * act_all[i]
+        z_scr[:, :] = z + Wt_ref[3 * i + 2] * (ln2 - li2)[None, :]
+        lam_ref[2, :, :] = lam_ref[2] * keep + oh * ln2[None, :]
+        continue
+
+      li = tuple(jnp.sum(lam_ref[a] * oh, axis=0) for a in range(3))
+      g_mat = ((g[0], g[1], g[2]), (g[1], g[3], g[4]), (g[2], g[4], g[5]))
+      ci = []
+      for a in range(3):
+        diag_a = g_mat[a][0] * li[0] + g_mat[a][1] * li[1] + g_mat[a][2] * li[2]
+        ci.append(ci0_all[i][a] + dotv(Jr_ref[3 * i + a], z) - diag_a)
+
+      if kind == "bilateral":
+        ln = _stick_vec(g, tuple(ci))
+      else:
+        ln = _cone_solve_vec(g, tuple(ci), mu_all[i], n_grid, dtype)
+
+      dz = jnp.zeros_like(z)
+      for a in range(3):
+        la = ln[a] * act_all[i]
+        dz = dz + Wt_ref[3 * i + a] * (la - li[a])[None, :]
+        lam_ref[a, :, :] = lam_ref[a] * keep + oh * la[None, :]
+      z_scr[:, :] = z + dz
+    return carry
+
+  jax.lax.fori_loop(0, sweeps, sweep_body, 0)
+  u_ref[:, :] = vf + z_scr[:, :]
+
+
+def _mf_impl(Jr, Wt, vf, bias, mu, active, config: ct.SolverConfig):
+  """Batch-major inputs: Jr/Wt (B, nc, 3, nv), vf (B, nv), bias (B, nc, 3),
+  mu/active (B, nc) -> (u_new (B, nv), lam (B, nc, 3))."""
+  B, nc, _, nv = Jr.shape
+  dtype = vf.dtype
+  kinds = config.row_kinds
+  if kinds:
+    assert len(kinds) == nc, (kinds, nc)
+
+  nvp = ((nv + 7) // 8) * 8             # sublane-align the dof axis
+  tile = 128 if nc > 16 else 256
+
+  def to_kernel(x):                     # (B, nc, 3, nv) -> (3nc, nvp, B)
+    x = jnp.transpose(x.reshape(B, nc * 3, nv), (1, 2, 0))
+    return jnp.pad(x, ((0, 0), (0, nvp - nv), (0, 0)))
+
+  Jrt = to_kernel(Jr)
+  Wtt = to_kernel(Wt)
+  vft = jnp.pad(jnp.transpose(vf, (1, 0)), ((0, nvp - nv), (0, 0)))
+  biast = jnp.transpose(bias.reshape(B, nc * 3), (1, 0))[:, None, :]
+  mut = jnp.transpose(mu, (1, 0))[:, None, :]
+  actt = jnp.transpose(active.astype(dtype), (1, 0))[:, None, :]
+
+  Bp = ((B + tile - 1) // tile) * tile
+  if Bp != B:
+    pad = Bp - B
+    Jrt = jnp.pad(Jrt, ((0, 0), (0, 0), (0, pad)))
+    Wtt = jnp.pad(Wtt, ((0, 0), (0, 0), (0, pad)))
+    vft = jnp.pad(vft, ((0, 0), (0, pad)))
+    biast = jnp.pad(biast, ((0, 0), (0, 0), (0, pad)))
+    mut = jnp.pad(mut, ((0, 0), (0, 0), (0, pad)))
+    actt = jnp.pad(actt, ((0, 0), (0, 0), (0, pad)))
+    # padded lanes: Jr = Wt = 0 -> Gii = 0; act = 0 keeps lam = 0; the one
+    # guarded division in the lin row is against +1e-20, never 0/0
+
+  kernel = functools.partial(
+      _mf_kernel, nc=nc, sweeps=config.sweeps, n_grid=config.n_grid,
+      dtype=dtype, kinds=kinds)
+  u_new, lam = pl.pallas_call(
+      kernel,
+      interpret=(jax.default_backend() == "cpu"),
+      grid=(Bp // tile,),
+      in_specs=[
+          pl.BlockSpec((3 * nc, nvp, tile), lambda t: (0, 0, t),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((3 * nc, nvp, tile), lambda t: (0, 0, t),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((nvp, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+          pl.BlockSpec((3 * nc, 1, tile), lambda t: (0, 0, t),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((nc, 1, tile), lambda t: (0, 0, t),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((nc, 1, tile), lambda t: (0, 0, t),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=[
+          pl.BlockSpec((nvp, tile), lambda t: (0, t), memory_space=pltpu.VMEM),
+          pl.BlockSpec((3, nc, tile), lambda t: (0, 0, t),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_shape=[
+          jax.ShapeDtypeStruct((nvp, Bp), dtype),
+          jax.ShapeDtypeStruct((3, nc, Bp), dtype),
+      ],
+      scratch_shapes=[pltpu.VMEM((nvp, tile), dtype)],
+  )(Jrt, Wtt, vft, biast, mut, actt)
+
+  u_out = jnp.transpose(u_new[:nv, :B], (1, 0))
+  lam_out = jnp.transpose(lam[:, :, :B], (2, 1, 0))
+  return u_out, lam_out
+
+
+def _mf_pure(Jr, Wt, vf, bias, mu, active, config: ct.SolverConfig):
+  """Reference jnp implementation of the matrix-free solve (differentiable;
+  the megakernel's VJP path and its CPU/parity oracle)."""
+  B, nc, _, nv = Jr.shape
+  Jf = Jr.reshape(B, nc * 3, nv)
+  Wf = Wt.reshape(B, nc * 3, nv)
+  G = jnp.einsum("brv,bsv->brs", Jf, Wf).reshape(B, nc, 3, nc, 3)
+  c0 = jnp.einsum("brv,bv->br", Jf, vf).reshape(B, nc, 3) - bias
+  lam = jax.vmap(lambda g, c, m, a: ct.solve_contacts(g, c, m, a,
+                                                      config=config))(
+      G, c0, mu, active)
+  u_new = vf + jnp.einsum("brv,br->bv", Wf, lam.reshape(B, nc * 3))
+  return u_new, lam
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def solve_dynamics_batch(Jr, Wt, vf, bias, mu, active,
+                         config: ct.SolverConfig = ct.SolverConfig()):
+  """Fused batched contact-dynamics solve (the round-3 megakernel path):
+
+      u_new = vf + M^-1 J^T lam,   lam = GS-cone-solve(G = J M^-1 J^T, ...)
+
+  without ever materializing G. Jr (B,nc,3,nv) contact-frame row Jacobians;
+  Wt (B,nc,3,nv) rows of J M^-1; vf (B,nv); bias (B,nc,3); mu/active (B,nc).
+  Pallas forward on TPU (interpret on CPU); pure-jnp VJP (same split as
+  solve_contacts_batch: kernel = throughput, pure path = derivatives)."""
+  return _mf_impl(Jr, Wt, vf, bias, mu, active, config)
+
+
+def _mf_fwd(Jr, Wt, vf, bias, mu, active, config):
+  out = _mf_impl(Jr, Wt, vf, bias, mu, active, config)
+  return out, (Jr, Wt, vf, bias, mu, active)
+
+
+def _mf_bwd(config, res, g):
+  Jr, Wt, vf, bias, mu, active = res
+  _, vjp = jax.vjp(lambda *a: _mf_pure(*a, config), Jr, Wt, vf, bias, mu, active)
+  return vjp(g)
+
+
+solve_dynamics_batch.defvjp(_mf_fwd, _mf_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def solve_contacts_batch(G, c0, mu, active, config: ct.SolverConfig = ct.SolverConfig()):
   """Batched contact solve: G (B,nc,3,nc,3), c0 (B,nc,3), mu (B,nc), active (B,nc)

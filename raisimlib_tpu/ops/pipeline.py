@@ -57,23 +57,52 @@ def _tangent_basis(n):
 
 
 def contact_jacobians(model, kin, contacts: coll.ContactSet):
-  """(nc, 3, nv) world-frame relative-velocity Jacobians: v_rel = J u = v(A) - v(B)."""
-  rows = []
-  for k in range(len(contacts.body_a)):
-    ba, bb = contacts.body_a[k], contacts.body_b[k]
-    pt = contacts.pos[k]
-    Ja = (
-        dynamics.point_jacobian(model, kin, ba, pt)
-        if ba >= 0
-        else jnp.zeros((3, model.nv), dtype=pt.dtype)
-    )
-    Jb = (
-        dynamics.point_jacobian(model, kin, bb, pt)
-        if bb >= 0
-        else jnp.zeros((3, model.nv), dtype=pt.dtype)
-    )
-    rows.append(Ja - Jb)
-  return jnp.stack(rows)
+  """(nc, 3, nv) world-frame relative-velocity Jacobians: v_rel = J u = v(A) - v(B).
+
+  Vectorized over contacts in ONE masked einsum-style expression: the per-dof
+  world columns are lin_j + ang_j x p for every (contact, dof) pair, weighted
+  by the STATIC ancestor-mask difference mask_A - mask_B. The previous
+  per-contact python loop emitted ~6 ops per contact; on the remote TPU every
+  op in the sequential assembly chain costs fixed dispatch latency (round-3
+  profile: the assembly phase is ~flat in batch size), so op count is the
+  budget here."""
+  nc = len(contacts.body_a)
+  amask = dynamics.ancestor_dof_mask(model)          # (nb, nv) static numpy
+  import numpy as _np
+
+  mdiff = _np.zeros((nc, model.nv))
+  for k in range(nc):
+    if contacts.body_a[k] >= 0:
+      mdiff[k] += amask[contacts.body_a[k]]
+    if contacts.body_b[k] >= 0:
+      mdiff[k] -= amask[contacts.body_b[k]]
+  mdiff = jnp.asarray(mdiff, dtype=contacts.pos.dtype)
+
+  ang = kin.S_w[:, :3]                               # (nv, 3)
+  lin = kin.S_w[:, 3:]                               # (nv, 3)
+  # cols[k, j] = lin_j + ang_j x p_k  -> (nc, nv, 3)
+  cols = lin[None, :, :] + jnp.cross(
+      jnp.broadcast_to(ang[None, :, :], (nc, model.nv, 3)),
+      jnp.broadcast_to(contacts.pos[:, None, :], (nc, model.nv, 3)))
+  return jnp.transpose(cols * mdiff[:, :, None], (0, 2, 1))
+
+
+def _tangent_frames(normals: jnp.ndarray) -> jnp.ndarray:
+  """(nc, 3) unit normals -> (nc, 3, 3) frames with rows (t1, t2, n),
+  vectorized branch-free axis pick (the batched form of _tangent_basis)."""
+  n = normals
+  dtype = n.dtype
+  ax = jnp.abs(n)
+  ex = jnp.array([1.0, 0.0, 0.0], dtype)
+  ey = jnp.array([0.0, 1.0, 0.0], dtype)
+  ez = jnp.array([0.0, 0.0, 1.0], dtype)
+  pick_x = ((ax[:, 0] <= ax[:, 1]) & (ax[:, 0] <= ax[:, 2]))[:, None]
+  pick_y = (~pick_x[:, 0] & (ax[:, 1] <= ax[:, 2]))[:, None]
+  a = jnp.where(pick_x, ex[None], jnp.where(pick_y, ey[None], ez[None]))
+  t1 = jnp.cross(n, a)
+  t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1, axis=1, keepdims=True) + 1e-18)
+  t2 = jnp.cross(n, t1)
+  return jnp.stack([t1, t2, n], axis=1)
 
 
 def _joint_pos_index(model):
@@ -84,29 +113,36 @@ def _joint_pos_index(model):
   idx = np.zeros(model.nv, dtype=np.int32)
   mask = np.zeros(model.nv)
   for i in range(model.nb):
-    if JointType(model.joint_types[i]) != JointType.FREE:
+    # only scalar-coordinate joints take PD position targets; FREE/SPHERICAL
+    # use quaternion coordinates (orientation servoing is a controller concern)
+    if JointType(model.joint_types[i]) in (JointType.REVOLUTE,
+                                           JointType.PRISMATIC):
       idx[model.v_adr[i]] = model.q_adr[i]
       mask[model.v_adr[i]] = 1.0
   return idx, mask
 
 
-def _pre_solve(
+def _assemble_rows(
     scene,
     state: State,
     tau: jnp.ndarray,
     pd_target: jnp.ndarray | None = None,
     config: StepConfig = StepConfig(),
 ):
-  """Everything up to the contact solve: returns solver inputs + apply context."""
+  """Collision -> solver-row assembly, shared by the pure and megakernel paths.
+
+  Returns (Jr, bias, mu, active, M, rhs0, u):
+    Jr   (n_rows, 3, nv) row Jacobians ALREADY rotated into contact frames
+    bias (n_rows, 3) desired post-velocity bias (restitution + Baumgarte)
+    M    (nv, nv) mass matrix incl. the implicit-PD dt*diag(kd) term
+    rhs0 (nv,)   tau - h - D u  (so v_free = u + dt M^-1 rhs0)
+  """
   model = scene.model
   dt = scene.dt
   q, u = state.q, state.u
   dtype = q.dtype
 
   # --- actuation: feedforward torque + optional stable PD (SURVEY.md C10) ---
-  # PD is integrated implicitly: the -kd v' term moves into the LHS mass matrix
-  # (M + dt*diag(kd)), which keeps large gains stable at physics dt, as the
-  # reference's PD servo does.
   tau = tau * model.actuated
   D = jnp.zeros((model.nv,), dtype=dtype)
   if pd_target is not None:
@@ -121,29 +157,23 @@ def _pre_solve(
   nc = contacts.depth.shape[0]
   tabs = getattr(scene, "constraints", None) or cs.EMPTY
 
-  # --- smooth dynamics quantities ---
-  # crba_w (einsum CRBA, reusing FK products) + trace-time-unrolled Cholesky:
-  # the scatter CRBA + XLA batched Cholesky were ~80% of the step (ops/linalg.py).
   M = dynamics.crba_w(model, q, kin) + dt * jnp.diag(D)
   f_ext = (cs.compliant_forces(model, tabs, kin, u, dtype)
            if tabs.compliant else None)
+  # bias via the RNEA recursion: the einsum alternative (nonlinearities_w,
+  # == rnea to round-off) measured ~1 ms/step SLOWER at B=2048 on the v5e —
+  # its static-index gathers outweigh the saved op dispatches (in-process A/B)
   h = dynamics.nonlinearities(model, q, u, scene.gravity, f_ext)
-  L = linalg.chol(M)
 
-  # --- contact frames + Jacobians (nc can be 0: constraints-only scenes) ---
   if nc > 0:
     Jc = contact_jacobians(model, kin, contacts)          # (nc, 3, nv)
-    t1t2 = [_tangent_basis(contacts.normal[k]) for k in range(nc)]
-    C = jnp.stack(
-        [jnp.stack([t1, t2, contacts.normal[k]]) for k, (t1, t2) in enumerate(t1t2)]
-    )                                                      # (nc, 3, 3) rows t1,t2,n
+    C = _tangent_frames(contacts.normal)                   # (nc, 3, 3) rows t1,t2,n
 
-    # --- contact bias: restitution + Baumgarte (reference: materials C11) ---
     mats = scene.materials  # (n_mat, n_mat, 3): mu, restitution, threshold
-    mu = jnp.stack([mats[contacts.mat_a[k], contacts.mat_b[k], 0] for k in range(nc)])
-    e = jnp.stack([mats[contacts.mat_a[k], contacts.mat_b[k], 1] for k in range(nc)])
-    thresh = jnp.stack(
-        [mats[contacts.mat_a[k], contacts.mat_b[k], 2] for k in range(nc)])
+    import numpy as _np
+
+    pair_props = mats[_np.asarray(contacts.mat_a), _np.asarray(contacts.mat_b)]
+    mu, e, thresh = pair_props[:, 0], pair_props[:, 1], pair_props[:, 2]
 
     v_pre_c = jnp.einsum("ipq,iqv,v->ip", C, Jc, u)        # pre-impact, contact frames
     vn_pre = v_pre_c[:, 2]
@@ -155,37 +185,52 @@ def _pre_solve(
     b = jnp.maximum(b_rest, b_baum)                        # desired v_n+ >= b
     bias = b[:, None] * jnp.array([0.0, 0.0, 1.0], dtype)[None, :]
     active = contacts.active.astype(dtype)
+    Jr = jnp.einsum("ipq,iqv->ipv", C, Jc)                 # rows -> (t1, t2, n)
   else:
-    Jc = jnp.zeros((0, 3, model.nv), dtype)
-    C = jnp.zeros((0, 3, 3), dtype)
+    Jr = jnp.zeros((0, 3, model.nv), dtype)
     bias = jnp.zeros((0, 3), dtype)
     mu = jnp.zeros((0,), dtype)
     active = jnp.zeros((0,), dtype)
 
-  # --- constraint rows: joint limits / wires / pins (ops/constraints.py) ---
+  # --- constraint rows: joint limits / wires / pins (identity frame) ---
   if tabs.n_rows:
+    kin2 = kin
     Jx, bx, mux, actx = cs.constraint_rows(
-        model, tabs, kin, q, u, dt, config.erp, config.max_correction_vel, dtype)
-    Jc = jnp.concatenate([Jc, Jx], axis=0)
-    C = jnp.concatenate(
-        [C, jnp.broadcast_to(jnp.eye(3, dtype=dtype), (tabs.n_rows, 3, 3))], axis=0)
+        model, tabs, kin2, q, u, dt, config.erp, config.max_correction_vel, dtype)
+    Jr = jnp.concatenate([Jr, Jx], axis=0)
     bias = jnp.concatenate([bias, bx], axis=0)
     mu = jnp.concatenate([mu, mux], axis=0)
     active = jnp.concatenate([active, actx], axis=0)
-    nc = nc + tabs.n_rows
 
-  # Rotate each row triplet's Jacobian into its contact frame FIRST (a small
-  # (nc,3,3)x(nc,3,nv) contraction), so the Delassus product below lands
-  # directly in contact frames. The naive order — build world-frame G, then
-  # conjugate by C on both sides — moves the full (nc,3,nc,3) Delassus through
-  # HBM twice more per step; at B=2048 those two einsums plus the post-solve
-  # impulse rotation were ~10% of the measured step time (round-3 profile).
-  Jr = jnp.einsum("ipq,iqv->ipv", C, Jc)                   # rows now (t1,t2,n)
+  rhs0 = tau - h - D * u
+  return Jr, bias, mu, active, M, rhs0, u
+
+
+def _pre_solve(
+    scene,
+    state: State,
+    tau: jnp.ndarray,
+    pd_target: jnp.ndarray | None = None,
+    config: StepConfig = StepConfig(),
+):
+  """Everything up to the contact solve: returns solver inputs + apply context.
+
+  Single-world pure path (scene.step / derivatives / observability): assembles
+  the rows, then materializes the Delassus G via one fused 1+3nc-column
+  cho_solve. The batched throughput path (step_batch) skips G entirely — see
+  the matrix-free megakernel in ops/pallas_contact.py."""
+  model = scene.model
+  dt = scene.dt
+  Jr, bias, mu, active, M, rhs0, u = _assemble_rows(
+      scene, state, tau, pd_target, config)
+  nc = Jr.shape[0]
+  L = linalg.chol(M)
+
   Jf = Jr.reshape(nc * 3, model.nv)
   # One fused pair of triangular sweeps for both solves:
   #   col 0: (M + dt D) v_free = M u + dt (tau - h)
   #           == v_free = u + dt Minv(tau - h - D u);  cols 1..: Minv J^T
-  rhs = jnp.concatenate([(tau - h - D * u)[:, None], Jf.T], axis=1)
+  rhs = jnp.concatenate([rhs0[:, None], Jf.T], axis=1)
   sol = linalg.cho_solve(L, rhs)                           # (nv, 1 + nc*3)
   v_free = u + dt * sol[:, 0]
   MinvJT = sol[:, 1:]                                      # (nv, nc*3), rotated basis
@@ -240,31 +285,49 @@ def step_batch(
 ) -> State:
   """Batched physics step: state/tau/pd_target carry a leading batch axis.
 
-  Identical math to `vmap(step)`, but the contact solve runs as ONE fused Pallas
-  kernel with the batch on the TPU lane axis (ops/pallas_contact.py) instead of a
-  per-world chain of tiny padded ops — this is the throughput path for rollout
-  benchmarks, MPPI sampling, and RL-style batched stepping."""
+  Identical math to `vmap(step)`, but the contact dynamics solve runs as ONE
+  fused matrix-free Pallas kernel with the batch on the TPU lane axis
+  (ops/pallas_contact.solve_dynamics_batch): the Delassus matrix is never
+  materialized — the kernel consumes J and J M^-1 and returns the post-impulse
+  velocity directly. This is the throughput path for rollout benchmarks, MPPI
+  sampling, and RL-style batched stepping; round-3 profiling showed the old
+  G-assembly (73-column triangular solve + (3nc)^2 matmul + 5-D layout
+  transposes) dominating the step."""
   from raisimlib_tpu.ops import pallas_contact
 
-  pre = jax.vmap(
-      lambda s, t, p: _pre_solve(scene, s, t, p, config),
-      in_axes=(0, 0, 0 if pd_target is not None else None),
-  )
-  solver_in, ctx = pre(state, tau, pd_target)
-  G, c0, mu, active = solver_in
+  model = scene.model
+  dt = scene.dt
+
+  def pre_one(s, t, p):
+    Jr, bias, mu, active, M, rhs0, u = _assemble_rows(scene, s, t, p, config)
+    L = linalg.chol(M)
+    invL = linalg.solve_lower(L, jnp.eye(model.nv, dtype=u.dtype))
+    # apply M^-1 as (invL^T)(invL .): two MXU matmuls, no explicit inverse
+    Wt = (Jr.reshape(-1, model.nv) @ invL.T) @ invL        # rows of J M^-1
+    vf = u + dt * (invL.T @ (invL @ rhs0))
+    return Jr, Wt.reshape(Jr.shape), vf, bias, mu, active
+
+  pre = jax.vmap(pre_one,
+                 in_axes=(0, 0, 0 if pd_target is not None else None))
+  Jr, Wt, vf, bias, mu, active = pre(state, tau, pd_target)
+
   kinds = scene_row_kinds(scene)
   # Per-section count check (advisor round-2): the contacts-then-constraints row
-  # order is a cross-function contract between _pre_solve's assembly and
+  # order is a cross-function contract between _assemble_rows and
   # scene_row_kinds; validate section-by-section against the assembled rows so a
   # reordering fails here instead of silently mislabeling rows in the kernel.
   tabs = getattr(scene, "constraints", None) or cs.EMPTY
-  n_con = c0.shape[1] - tabs.n_rows
+  n_con = Jr.shape[1] - tabs.n_rows
   assert n_con >= 0 and kinds == ("cone",) * n_con + tabs.row_kinds, (
-      f"solver row sections out of sync: {c0.shape[1]} assembled rows "
+      f"solver row sections out of sync: {Jr.shape[1]} assembled rows "
       f"({n_con} contacts + {tabs.n_rows} constraints) vs kinds {kinds}")
   solver_cfg = config.solver.replace(row_kinds=kinds)
-  lam = pallas_contact.solve_contacts_batch(G, c0, mu, active, solver_cfg)
-  return jax.vmap(lambda s, c, l: _post_solve(scene, s, c, l))(state, ctx, lam)
+
+  u_new, _lam = pallas_contact.solve_dynamics_batch(
+      Jr, Wt, vf, bias, mu, active, solver_cfg)
+  q_new = jax.vmap(lambda q, un: dynamics.integrate_q(model, q, un, dt))(
+      state.q, u_new)
+  return State(q=q_new, u=u_new, t=state.t + dt)
 
 
 def step_with_report(scene, state, tau, pd_target=None,

@@ -29,6 +29,7 @@ from raisimlib_tpu.ops.collision import (
     GEOM_CAPSULE,
     GEOM_CYLINDER,
     GEOM_HEIGHTMAP,
+    GEOM_MESH,
     GEOM_PLANE,
     GEOM_SPHERE,
 )
@@ -44,6 +45,7 @@ class _GeomSpec:
   offset_rot: np.ndarray
   material: int
   obj: int = -1       # owning object id; same-obj pairs skipped unless self_collision
+  mesh: Any = None    # (n, 3) convex-hull vertices for GEOM_MESH geoms
 
 
 @dataclasses.dataclass
@@ -116,9 +118,11 @@ class World:
       if b["parent"] >= 0:
         b["parent"] = b["parent"] + ofs
       self._bodies.append(b)
+      from raisimlib_tpu.models.model import _NQ, _NV
+
       jt = JointType(b["joint"])
-      self._nq += 7 if jt == JointType.FREE else 1
-      self._nv += 6 if jt == JointType.FREE else 1
+      self._nq += _NQ[jt]
+      self._nv += _NV[jt]
     h = _ObjectHandle(name, ofs, slice(nq0, self._nq), slice(nv0, self._nv))
     self._handles.append(h)
     return h
@@ -142,6 +146,7 @@ class World:
               offset_rot=np.asarray(g.get("offset_rot", np.eye(3)), dtype=np.float64),
               material=int(g.get("material", 0)),
               obj=obj,
+              mesh=g.get("mesh"),
           )
       )
     return h
@@ -184,6 +189,48 @@ class World:
     self._geoms.append(_GeomSpec(h.body_start, GEOM_CAPSULE,
                                  np.array([radius, half_length, 0, 0]),
                                  np.zeros(3), np.eye(3), material))
+    return h
+
+  def add_cylinder(self, radius: float, half_length: float, mass: float,
+                   name="cylinder", material=0, pos=(0.0, 0.0, 1.0)) -> _ObjectHandle:
+    """Flat-capped cylinder along body z (RaiSim `World::addCylinder`).
+    Narrow phase exists vs plane/heightmap/sphere; other pairs warn at
+    compile time (ops/collision.candidate_pairs) instead of silently dropping."""
+    r2 = radius * radius
+    l = 2 * half_length
+    Ixx = mass * (3 * r2 + l * l) / 12.0
+    I = np.diag([Ixx, Ixx, 0.5 * mass * r2])
+    spec = dict(parent=-1, joint=JointType.FREE, mass=mass, com=[0, 0, 0],
+                inertia=I, actuated=False, name=name,
+                q_init=list(pos) + [1.0, 0.0, 0.0, 0.0])
+    h = self._merge_model_bodies([spec], name)
+    self._geoms.append(_GeomSpec(h.body_start, GEOM_CYLINDER,
+                                 np.array([radius, half_length, 0, 0]),
+                                 np.zeros(3), np.eye(3), material))
+    return h
+
+  def add_mesh(self, vertices, mass: float, name="mesh", material=0,
+               pos=(0.0, 0.0, 1.0), inertia=None,
+               com=(0.0, 0.0, 0.0)) -> _ObjectHandle:
+    """Convex-mesh rigid body from a hull vertex table (RaiSim `World::addMesh`).
+
+    `vertices`: (n, 3) body-local points; the collision kernels use a
+    support-sampled subset (ops/collision.MAX_MESH_VERTS). `inertia`: (3,3)
+    about the COM; defaults to the vertex-AABB box inertia (a documented
+    approximation — pass the true tensor for accurate dynamics)."""
+    V = np.asarray(vertices, dtype=np.float64).reshape(-1, 3)
+    assert len(V) >= 4, "mesh needs >= 4 vertices"
+    if inertia is None:
+      ext = V.max(axis=0) - V.min(axis=0)
+      inertia = mass / 12.0 * np.diag([ext[1]**2 + ext[2]**2,
+                                       ext[0]**2 + ext[2]**2,
+                                       ext[0]**2 + ext[1]**2])
+    spec = dict(parent=-1, joint=JointType.FREE, mass=mass, com=list(com),
+                inertia=np.asarray(inertia), actuated=False, name=name,
+                q_init=list(pos) + [1.0, 0.0, 0.0, 0.0])
+    h = self._merge_model_bodies([spec], name)
+    self._geoms.append(_GeomSpec(h.body_start, GEOM_MESH, np.zeros(4),
+                                 np.zeros(3), np.eye(3), material, mesh=V))
     return h
 
   def add_ground(self, height: float = 0.0, material: int = 0) -> None:

@@ -302,3 +302,117 @@ class TestMuJoCoOracle:
 
       np.testing.assert_allclose(qdd[3:], mj_data.qacc[:3], rtol=1e-6, atol=1e-8)
       np.testing.assert_allclose(qdd[:3], mj_data.qacc[3:6], rtol=1e-6, atol=1e-8)
+
+
+class TestNonlinearitiesW:
+  """nonlinearities_w (world-frame einsum RNEA) == nonlinearities (recursion),
+  across every joint family, to f64 round-off."""
+
+  def _models(self):
+    from raisimlib_tpu.models import anymal, primitives
+    from raisimlib_tpu.models.model import JointType, build_model
+    from raisimlib_tpu.models.urdf import load_urdf
+
+    out = {"cartpole": primitives.cartpole(dtype=jnp.float64),
+           "double_pendulum": primitives.double_pendulum(dtype=jnp.float64),
+           "free_box": primitives.free_box(dtype=jnp.float64)}
+    bodies, _, _ = load_urdf(anymal.anymal_urdf())
+    out["anymal"] = build_model("anymal", bodies, dtype=jnp.float64)
+    r, l, m = 0.02, 0.5, 1.0
+    Ixx = m * (3 * r * r + l * l) / 12.0
+    I = np.diag([Ixx, Ixx, 0.5 * m * r * r])
+    out["ball_chain"] = build_model("bc", [
+        dict(parent=-1, joint=JointType.SPHERICAL, mass=m, com=[0, 0, -l / 2],
+             inertia=I, actuated=True, name="a"),
+        dict(parent=0, joint=JointType.SPHERICAL, mass=m, com=[0, 0, -l / 2],
+             inertia=I, actuated=True, pos=[0, 0, -l], name="b"),
+    ], dtype=jnp.float64)
+    return out
+
+  def test_matches_rnea_all_models(self, rng):
+    from raisimlib_tpu.ops.dynamics import nonlinearities, nonlinearities_w
+
+    G = jnp.asarray([0.0, 0.0, -9.81], jnp.float64)
+    for name, model in self._models().items():
+      for _ in range(3):
+        q = np.asarray(model.q_init, np.float64).copy()
+        q += 0.3 * rng.normal(size=q.shape)
+        # renormalize any quaternion blocks
+        from raisimlib_tpu.models.model import JointType
+
+        for i in range(model.nb):
+          jt = JointType(model.joint_types[i])
+          qa = model.q_adr[i]
+          if jt == JointType.FREE:
+            q[qa + 3 : qa + 7] /= np.linalg.norm(q[qa + 3 : qa + 7])
+          elif jt == JointType.SPHERICAL:
+            q[qa : qa + 4] /= np.linalg.norm(q[qa : qa + 4])
+        u = rng.normal(size=(model.nv,))
+        h_ref = np.asarray(nonlinearities(model, jnp.asarray(q), jnp.asarray(u), G))
+        h_w = np.asarray(nonlinearities_w(model, jnp.asarray(q), jnp.asarray(u), G))
+        np.testing.assert_allclose(h_w, h_ref, rtol=1e-9, atol=1e-10,
+                                   err_msg=name)
+
+  def test_matches_with_external_force(self, rng):
+    from raisimlib_tpu.models import primitives
+    from raisimlib_tpu.ops.dynamics import nonlinearities, nonlinearities_w
+
+    model = primitives.free_box(dtype=jnp.float64)
+    G = jnp.asarray([0.0, 0.0, -9.81], jnp.float64)
+    q = np.asarray(model.q_init, np.float64).copy()
+    q[3:7] = [0.9, 0.1, 0.3, -0.2]
+    q[3:7] /= np.linalg.norm(q[3:7])
+    u = rng.normal(size=(model.nv,))
+    fext = jnp.asarray(rng.normal(size=(model.nb, 6)))
+    h_ref = np.asarray(nonlinearities(model, jnp.asarray(q), jnp.asarray(u), G,
+                                      fext))
+    h_w = np.asarray(nonlinearities_w(model, jnp.asarray(q), jnp.asarray(u), G,
+                                      f_ext_w=fext))
+    np.testing.assert_allclose(h_w, h_ref, rtol=1e-9, atol=1e-10)
+
+
+class TestLevelParallelFK:
+  """fk (level-parallel, batched groups) == fk_reference (per-body recursion)
+  for every joint family and tree shape, all KinData fields, f64 round-off."""
+
+  def test_matches_reference(self, rng):
+    from raisimlib_tpu.models import anymal, atlas, primitives
+    from raisimlib_tpu.models.model import JointType, build_model
+    from raisimlib_tpu.models.urdf import load_urdf
+    from raisimlib_tpu.ops.dynamics import fk_levels as fk, fk_reference
+
+    models = {"cartpole": primitives.cartpole(dtype=jnp.float64),
+              "double_pendulum": primitives.double_pendulum(dtype=jnp.float64),
+              "free_box": primitives.free_box(dtype=jnp.float64)}
+    bodies, _, _ = load_urdf(anymal.anymal_urdf())
+    models["anymal"] = build_model("anymal", bodies, dtype=jnp.float64)
+    bodies, _, _ = load_urdf(atlas.atlas_urdf())
+    models["atlas"] = build_model("atlas", bodies, dtype=jnp.float64)
+    r, l, m = 0.02, 0.5, 1.0
+    Ixx = m * (3 * r * r + l * l) / 12.0
+    I = np.diag([Ixx, Ixx, 0.5 * m * r * r])
+    models["ball_chain"] = build_model("bc", [
+        dict(parent=-1, joint=JointType.SPHERICAL, mass=m, com=[0, 0, -l / 2],
+             inertia=I, name="a"),
+        dict(parent=0, joint=JointType.SPHERICAL, mass=m, com=[0, 0, -l / 2],
+             inertia=I, pos=[0, 0, -l], name="b"),
+    ], dtype=jnp.float64)
+
+    for name, model in models.items():
+      for _ in range(3):
+        q = np.asarray(model.q_init, np.float64).copy()
+        q += 0.3 * rng.normal(size=q.shape)
+        for i in range(model.nb):
+          jt = JointType(model.joint_types[i])
+          qa = model.q_adr[i]
+          if jt == JointType.FREE:
+            q[qa + 3 : qa + 7] /= np.linalg.norm(q[qa + 3 : qa + 7])
+          elif jt == JointType.SPHERICAL:
+            q[qa : qa + 4] /= np.linalg.norm(q[qa : qa + 4])
+        u = rng.normal(size=(model.nv,))
+        ka = fk(model, jnp.asarray(q), jnp.asarray(u))
+        kb = fk_reference(model, jnp.asarray(q), jnp.asarray(u))
+        for field in ("R", "p", "S_w", "vel6", "Xup_E", "Xup_r"):
+          np.testing.assert_allclose(
+              np.asarray(getattr(ka, field)), np.asarray(getattr(kb, field)),
+              rtol=1e-9, atol=1e-10, err_msg=f"{name}.{field}")

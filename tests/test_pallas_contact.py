@@ -97,3 +97,76 @@ class TestStepBatchParity:
                                atol=5e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(s_bat.u), np.asarray(s_ref.u),
                                atol=5e-3, rtol=1e-3)
+
+
+class TestMatrixFreeMegakernel:
+  """solve_dynamics_batch (round 3): the fused J / J M^-1 path that never
+  materializes the Delassus matrix. Parity against its pure-jnp oracle
+  (_mf_pure), masked-row inertness, and the custom-VJP gradient path."""
+
+  def _problem(self, rng, B=6, nc=4, nv=8):
+    Jr = jnp.asarray(rng.normal(size=(B, nc, 3, nv)))
+    A = rng.normal(size=(B, nv, nv))
+    M = jnp.asarray(A @ np.transpose(A, (0, 2, 1)) + 3.0 * np.eye(nv))
+    invM = jnp.linalg.inv(M)
+    Wt = jnp.einsum("bicv,bvw->bicw", Jr, invM)
+    vf = jnp.asarray(rng.normal(size=(B, nv)))
+    bias = jnp.zeros((B, nc, 3))
+    mu = 0.6 * jnp.ones((B, nc))
+    active = jnp.ones((B, nc))
+    return Jr, Wt, vf, bias, mu, active
+
+  def test_matches_pure_oracle(self, rng):
+    from raisimlib_tpu.ops.pallas_contact import _mf_pure, solve_dynamics_batch
+
+    args = self._problem(rng)
+    u_k, lam_k = solve_dynamics_batch(*args)
+    u_p, lam_p = _mf_pure(*args, ct.SolverConfig())
+    scale = float(jnp.max(jnp.abs(lam_p)) + 1.0)
+    assert float(jnp.max(jnp.abs(lam_k - lam_p))) / scale < 2e-3
+    assert float(jnp.max(jnp.abs(u_k - u_p))) < 2e-3 * scale
+
+  def test_inactive_rows_are_inert(self, rng):
+    from raisimlib_tpu.ops.pallas_contact import solve_dynamics_batch
+
+    Jr, Wt, vf, bias, mu, active = self._problem(rng)
+    active = active.at[:, 2].set(0.0)
+    u_k, lam_k = solve_dynamics_batch(Jr, Wt, vf, bias, mu, active)
+    assert float(jnp.max(jnp.abs(lam_k[:, 2]))) == 0.0
+    # and corrupting the inactive row's Jacobian must not change the answer
+    Jr2 = Jr.at[:, 2].multiply(37.0)
+    Wt2 = Wt.at[:, 2].multiply(37.0)
+    u_k2, _ = solve_dynamics_batch(Jr2, Wt2, vf, bias, mu, active)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_k2),
+                               rtol=1e-6, atol=1e-9)
+
+  def test_vjp_equals_pure_gradient(self, rng):
+    from raisimlib_tpu.ops.pallas_contact import _mf_pure, solve_dynamics_batch
+
+    Jr, Wt, vf, bias, mu, active = self._problem(rng, B=3)
+    w = jnp.asarray(rng.normal(size=vf.shape))
+
+    g_k = jax.grad(lambda v: jnp.sum(
+        w * solve_dynamics_batch(Jr, Wt, v, bias, mu, active)[0]))(vf)
+    g_p = jax.grad(lambda v: jnp.sum(
+        w * _mf_pure(Jr, Wt, v, bias, mu, active, ct.SolverConfig())[0]))(vf)
+    np.testing.assert_allclose(np.asarray(g_k), np.asarray(g_p),
+                               rtol=1e-10, atol=1e-12)
+
+  def test_row_kinds_lin_and_bilateral(self, rng):
+    from raisimlib_tpu.ops.pallas_contact import _mf_pure, solve_dynamics_batch
+
+    Jr, Wt, vf, bias, mu, active = self._problem(rng)
+    # row 1 -> frictionless unilateral (tangent lanes zeroed, mu = 0, exactly
+    # how ops/constraints.py emits limit/wire rows); row 3 -> bilateral (mu
+    # sentinel)
+    Jr = Jr.at[:, 1, :2].set(0.0)
+    Wt = Wt.at[:, 1, :2].set(0.0)
+    mu = mu.at[:, 1].set(0.0)
+    mu = mu.at[:, 3].set(1e7)
+    cfg = ct.SolverConfig(row_kinds=("cone", "lin", "cone", "bilateral"))
+    u_k, lam_k = solve_dynamics_batch(Jr, Wt, vf, bias, mu, active, cfg)
+    u_p, lam_p = _mf_pure(Jr, Wt, vf, bias, mu, active, cfg)
+    scale = float(jnp.max(jnp.abs(lam_p)) + 1.0)
+    assert float(jnp.max(jnp.abs(lam_k - lam_p))) / scale < 2e-3
+    assert float(jnp.max(jnp.abs(lam_k[:, 1, :2]))) == 0.0
