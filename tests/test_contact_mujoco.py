@@ -1,0 +1,134 @@
+"""Contact-path cross-validation against MuJoCo (advisor round-2 #4).
+
+The smooth-dynamics oracle tests (test_dynamics.py) anchor ABA/CRBA/RNEA to
+MuJoCo exactly; contact MODELS differ by design (RaiSim-style per-contact
+exact cone solve vs MuJoCo's soft convex complementarity — SURVEY.md §4.2
+says contact comparisons are qualitative), so these tests compare REGIME
+OBSERVABLES that any correct hard-contact implementation must share with a
+converged soft one: resting heights, time-to-rest, frictional stopping
+distance, and stick/slide thresholds.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raisimlib_tpu.world import World
+
+F64 = jnp.float64
+
+
+def _mj_sphere_world(radius=0.1, mass=1.0, z0=0.5, mu=0.8, v0=(0.0, 0.0, 0.0)):
+  import mujoco
+
+  xml = f"""
+  <mujoco>
+    <option timestep="0.002" gravity="0 0 -9.81"/>
+    <worldbody>
+      <geom type="plane" size="5 5 0.1" friction="{mu} 0.001 0.0001"/>
+      <body name="ball" pos="0 0 {z0}">
+        <freejoint/>
+        <geom type="sphere" size="{radius}" mass="{mass}"
+              friction="{mu} 0.001 0.0001" solref="0.002 1"/>
+      </body>
+    </worldbody>
+  </mujoco>"""
+  m = mujoco.MjModel.from_xml_string(xml)
+  d = mujoco.MjData(m)
+  d.qvel[:3] = v0
+  return m, d
+
+
+def _our_sphere_world(radius=0.1, mass=1.0, z0=0.5, mu=0.8, v0=(0.0, 0.0, 0.0)):
+  world = World(dt=0.002, dtype=F64)
+  world.set_default_friction(mu)
+  world.add_sphere(radius=radius, mass=mass, pos=(0.0, 0.0, z0))
+  world.add_ground()
+  scene = world.compile()
+  s = scene.init_state()
+  s = s.replace(u=s.u.at[3:6].set(jnp.asarray(v0, F64)))
+  return scene, s
+
+
+def _our_roll(scene, s, n):
+  @jax.jit
+  def run(s):
+    def body(s, _):
+      s2 = scene.step(s)
+      return s2, (s2.q[:3], s2.u)
+
+    return jax.lax.scan(body, s, None, length=n)
+
+  _, (ps, us) = run(s)
+  return np.asarray(ps), np.asarray(us)
+
+
+class TestDropCrossCheck:
+  def test_resting_height_and_settle_time(self):
+    import mujoco
+
+    n = 1000
+    m, d = _mj_sphere_world()
+    mj_z = []
+    for _ in range(n):
+      mujoco.mj_step(m, d)
+      mj_z.append(d.qpos[2])
+    mj_z = np.asarray(mj_z)
+
+    scene, s = _our_sphere_world()
+    ps, us = _our_roll(scene, s, n)
+    our_z = ps[:, 2]
+
+    # both engines: ball rests at z = r
+    assert abs(our_z[-1] - 0.1) < 2e-3
+    assert abs(mj_z[-1] - 0.1) < 2e-3
+    assert abs(our_z[-1] - mj_z[-1]) < 2e-3
+
+    # time of first touchdown agrees to a few steps (pure ballistics + geometry)
+    t_mj = int(np.argmax(mj_z <= 0.1 + 1e-6))
+    t_us = int(np.argmax(our_z <= 0.1 + 1e-6))
+    assert abs(t_mj - t_us) <= 3, (t_mj, t_us)
+
+  def test_frictional_stopping_distance(self):
+    """Sliding ball decelerating under Coulomb friction: v(t) and stopping
+    distance follow a = mu*g for BOTH engines (quantitative, model-agnostic:
+    a point contact slides at mu*m*g regardless of contact model details).
+
+    The sharp model-agnostic prediction: a sliding solid sphere spins up
+    under Coulomb friction until rolling without slipping at v = 5/7 v0,
+    then rolls on at that speed (no rolling resistance in either engine).
+    Both engines must land on the 5/7 law and comparable displacement."""
+    import mujoco
+
+    v0 = (1.0, 0.0, 0.0)
+    n = 600
+    m, d = _mj_sphere_world(z0=0.1, v0=v0)
+    for _ in range(n):
+      mujoco.mj_step(m, d)
+    mj_x = float(d.qpos[0])
+    mj_v = float(d.qvel[0])
+
+    scene, s = _our_sphere_world(z0=0.1, v0=v0)
+    ps, us = _our_roll(scene, s, n)
+    our_x = float(ps[-1, 0])
+    our_v = float(us[-1, 3])             # our FREE layout: u = [w(3), v(3)]
+
+    assert abs(our_v - 5.0 / 7.0) < 0.02, our_v
+    assert abs(mj_v - 5.0 / 7.0) < 0.05, mj_v
+    assert abs(our_x - mj_x) < 0.15 * max(our_x, mj_x), (our_x, mj_x)
+
+  def test_static_friction_holds_on_both(self):
+    """A ball resting with zero velocity stays put in both engines (no
+    spurious drift from either contact model over 2 s)."""
+    import mujoco
+
+    n = 1000
+    m, d = _mj_sphere_world(z0=0.1)
+    for _ in range(n):
+      mujoco.mj_step(m, d)
+    assert float(np.hypot(d.qpos[0], d.qpos[1])) < 1e-3
+
+    scene, s = _our_sphere_world(z0=0.1)
+    ps, us = _our_roll(scene, s, n)
+    assert float(np.hypot(ps[-1, 0], ps[-1, 1])) < 1e-3
