@@ -36,8 +36,8 @@ def gait_reference(n, control_dt, freq=1.5, swing=0.22, dtype=jnp.float32):
 
 
 def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
-  from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step
-  from raisimlib_tpu.mpc.state_map import make_contact_dyn, state_to_vec
+  from raisimlib_tpu.mpc.mppi import MPPIConfig, mppi_step_batch
+  from raisimlib_tpu.mpc.state_map import make_contact_dyn_batch, state_to_vec
   from raisimlib_tpu.ops import heightmap as hm
   from raisimlib_tpu.ops.spatial import quat_box_minus
   from raisimlib_tpu.utils import metrics, terrain
@@ -70,51 +70,30 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
   mcfg = MPPIConfig(n_samples=K, sigma=float(cc["sigma"]),
                     temperature=float(cc["temperature"]))
 
-  def make_cost(field):
-    def rc(x, u, t):
-      q, v = x[:19], x[19:]
-      z_surf, _, _ = hm.surface_at(field, q[:2])
-      return (6.0 * (v[3] - v_target) ** 2                 # forward speed
-              + 30.0 * (q[2] - z_surf - z0) ** 2           # height over terrain
-              + 8.0 * jnp.sum(quat_box_minus(q[3:7], quat_id) ** 2)
-              + 0.3 * (v[4] ** 2 + v[5] ** 2)              # lateral/vertical
-              + 0.02 * jnp.sum(v[6:] ** 2)) * control_dt
+  # per-env costs take the env's heightfield as ctx (mppi_step_batch env_ctx)
+  field0 = scene0.field
 
-    def fc(x):
-      q, v = x[:19], x[19:]
-      z_surf, _, _ = hm.surface_at(field, q[:2])
-      return (100.0 * (q[2] - z_surf - z0) ** 2
-              + 30.0 * jnp.sum(quat_box_minus(q[3:7], quat_id) ** 2))
+  def rc(x, u, t, heights):
+    q, v = x[:19], x[19:]
+    z_surf, _, _ = hm.surface_at(field0.replace(heights=heights), q[:2])
+    return (9.0 * (v[3] - v_target) ** 2                   # forward speed
+            + 30.0 * (q[2] - z_surf - z0) ** 2             # height over terrain
+            + 8.0 * jnp.sum(quat_box_minus(q[3:7], quat_id) ** 2)
+            + 0.3 * (v[4] ** 2 + v[5] ** 2)                # lateral/vertical
+            + 0.02 * jnp.sum(v[6:] ** 2)) * control_dt
 
-    return rc, fc
+  def fc(x, heights):
+    q, v = x[:19], x[19:]
+    z_surf, _, _ = hm.surface_at(field0.replace(heights=heights), q[:2])
+    return (100.0 * (q[2] - z_surf - z0) ** 2
+            + 30.0 * jnp.sum(quat_box_minus(q[3:7], quat_id) ** 2))
 
-  def trot_on_terrain(heights, key):
-    """Closed-loop trot on one heightfield; returns (x_final, xs trace)."""
-    field = scene0.field.replace(heights=heights)
-    scene = scene0.replace(field=field)
-    dyn, nx, nu = make_contact_dyn(scene, control_dt, substeps, use_pd=True)
-    rc, fc = make_cost(field)
+  # ONE batched controller over all terrains: the (n_terrains x K) sample
+  # population rides the Pallas megakernel's lane axis with per-row terrains
+  # (round-3: step_batch field_heights) — no vmap over per-terrain solvers
+  dyn_b, nx, nu = make_contact_dyn_batch(scene0, control_dt, substeps,
+                                         use_pd=True)
 
-    # start standing on the local surface
-    z_start, _, _ = hm.surface_at(field, q0[:2])
-    s0 = scene.init_state(q=q0.at[2].add(z_start))
-    x0 = state_to_vec(s0)
-
-    def tick(carry, inp):
-      x, dU = carry
-      k, m = inp
-      base = jax.lax.dynamic_slice(gait, (m, 0), (H, 12))  # upcoming references
-      sol = mppi_step(dyn, rc, fc, x, base + dU, k, mcfg)
-      x2 = dyn(x, sol.U[0], 0)
-      dU2 = jnp.concatenate([sol.U[1:] - base[1:], sol.U[-1:] - base[-1:]])
-      return (x2, dU2), x2
-
-    keys = jax.random.split(key, n_ticks)
-    ms = jnp.arange(n_ticks)
-    (xf, _), xs = jax.lax.scan(tick, (x0, jnp.zeros((H, 12), dtype)), (keys, ms))
-    return xf, xs
-
-  keys = jax.random.split(jax.random.PRNGKey(7), n_terrains)
   tkeys = jax.random.split(jax.random.PRNGKey(11), n_terrains)
   heights = jax.vmap(lambda k: terrain.generate(
       k, terrain.TerrainProperties(z_scale=z_rough, x_size=tsize[0],
@@ -122,13 +101,37 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
                                    y_samples=tsamples[1]),
       dtype=dtype).heights)(tkeys)
 
-  batched = jax.jit(jax.vmap(trot_on_terrain))
+  @jax.jit
+  def trot_all(heights, key):
+    z_start = jax.vmap(lambda h: hm.surface_at(
+        field0.replace(heights=h), q0[:2])[0])(heights)
+    q0s = jnp.tile(q0[None], (n_terrains, 1)).at[:, 2].add(z_start)
+    x0s = jnp.concatenate(
+        [q0s, jnp.zeros((n_terrains, 18), dtype)], axis=1)
+
+    def tick(carry, inp):
+      xs, dUs = carry
+      k, m = inp
+      base = jax.lax.dynamic_slice(gait, (m, 0), (H, 12))  # upcoming references
+      sol = mppi_step_batch(dyn_b, rc, fc, xs, base[None] + dUs, k, mcfg,
+                            env_ctx=heights)
+      x2 = dyn_b(xs, sol.U[:, 0], 0, heights)
+      dU2 = jnp.concatenate([sol.U[:, 1:] - base[None, 1:],
+                             sol.U[:, -1:] - base[None, -1:]], axis=1)
+      return (x2, dU2), x2
+
+    keys = jax.random.split(key, n_ticks)
+    ms = jnp.arange(n_ticks)
+    (xf, _), xs = jax.lax.scan(
+        tick, (x0s, jnp.zeros((n_terrains, H, 12), dtype)), (keys, ms))
+    return xf, jnp.moveaxis(xs, 0, 1)       # (n_terrains, n_ticks, nx)
+
   t0 = time.perf_counter()
-  xf, xs = batched(heights, keys)
+  xf, xs = trot_all(heights, jax.random.PRNGKey(7))
   jax.block_until_ready(xf)
   compile_s = time.perf_counter() - t0
   t0 = time.perf_counter()
-  xf, xs = batched(heights, keys)
+  xf, xs = trot_all(heights, jax.random.PRNGKey(7))
   jax.block_until_ready(xf)
   wall_s = time.perf_counter() - t0
 

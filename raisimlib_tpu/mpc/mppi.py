@@ -117,6 +117,7 @@ def mppi_step_batch(
     Us: jnp.ndarray,      # (E, H, nu) current plans
     key: jnp.ndarray,
     config: MPPIConfig = MPPIConfig(),
+    env_ctx=None,         # optional per-env pytree (leading dim E), e.g. terrains
 ) -> MPPISolution:
   """One MPPI update of E plans, all E*K sample rollouts in ONE physics batch.
 
@@ -131,6 +132,11 @@ def mppi_step_batch(
   H-step sequential rollout, which at B=E*K lane occupancy would nearly double
   the solve latency for a number the receding-horizon loop re-measures next
   tick anyway.
+
+  `env_ctx`: per-env parameters (a pytree with leading dim E, e.g. heightfield
+  heights for batched terrain scenarios). When given, it is repeated across
+  each env's K samples and passed as `dyn_b(x, u, t, ctx_rows)`, and the cost
+  signatures become `running_cost(x, u, t, ctx)` / `final_cost(x, ctx)`.
   """
   E, H, nu = Us.shape
   K = config.n_samples
@@ -146,18 +152,26 @@ def mppi_step_batch(
   # one batched rollout over all E*K samples
   X0 = jnp.broadcast_to(x0s[:, None, :], (E, K, x0s.shape[-1])).reshape(E * K, -1)
   Uflat = Usamp.reshape(E * K, H, nu)
+  ctx = (None if env_ctx is None
+         else jax.tree.map(lambda a: jnp.repeat(a, K, axis=0), env_ctx))
 
   def body(carry, u_t):
     x, acc = carry
     u, t = u_t
-    c = jax.vmap(running_cost, in_axes=(0, 0, None))(x, u, t)
-    xn = dyn_b(x, u, t)
+    if ctx is None:
+      c = jax.vmap(running_cost, in_axes=(0, 0, None))(x, u, t)
+      xn = dyn_b(x, u, t)
+    else:
+      c = jax.vmap(running_cost, in_axes=(0, 0, None, 0))(x, u, t, ctx)
+      xn = dyn_b(x, u, t, ctx)
     return (xn, acc + c), None
 
   ts = jnp.arange(H)
   (xf, acc), _ = jax.lax.scan(
       body, (X0, jnp.zeros((E * K,), dtype)), (jnp.moveaxis(Uflat, 0, 1), ts))
-  costs = (acc + jax.vmap(final_cost)(xf)).reshape(E, K)
+  fc = (jax.vmap(final_cost)(xf) if ctx is None
+        else jax.vmap(final_cost)(xf, ctx))
+  costs = (acc + fc).reshape(E, K)
 
   if config.n_elite > 0:
     _, top = jax.lax.top_k(-costs, config.n_elite)               # (E, n_elite)

@@ -78,7 +78,9 @@ def make_contact_dyn_batch(scene, control_dt: float, substeps: int,
       f"scene.dt * substeps ({scene.dt}*{substeps}) must equal control_dt {control_dt}"
   )
 
-  def dyn_b(X, A, t):
+  def dyn_b(X, A, t, ctx=None):
+    """ctx: optional per-row heightfield heights (B, nx, ny) — batched terrain
+    scenarios ride the same lane-axis kernel (SURVEY.md C5/C17)."""
     B = X.shape[0]
     dtype = X.dtype
     states = State(q=X[:, :nq], u=X[:, nq:], t=jnp.zeros((B,), dtype))
@@ -87,8 +89,9 @@ def make_contact_dyn_batch(scene, control_dt: float, substeps: int,
 
     def body(s, _):
       if use_pd:
-        return pipeline.step_batch(scene, s, zeros_tau, full), None
-      return pipeline.step_batch(scene, s, full), None
+        return pipeline.step_batch(scene, s, zeros_tau, full,
+                                   field_heights=ctx), None
+      return pipeline.step_batch(scene, s, full, field_heights=ctx), None
 
     states, _ = jax.lax.scan(body, states, None, length=substeps)
     return jnp.concatenate([states.q, states.u], axis=1)

@@ -128,6 +128,7 @@ def _assemble_rows(
     tau: jnp.ndarray,
     pd_target: jnp.ndarray | None = None,
     config: StepConfig = StepConfig(),
+    f_ext_w: jnp.ndarray | None = None,
 ):
   """Collision -> solver-row assembly, shared by the pure and megakernel paths.
 
@@ -160,6 +161,8 @@ def _assemble_rows(
   M = dynamics.crba_w(model, q, kin) + dt * jnp.diag(D)
   f_ext = (cs.compliant_forces(model, tabs, kin, u, dtype)
            if tabs.compliant else None)
+  if f_ext_w is not None:                 # user wrenches (setExternalForce)
+    f_ext = f_ext_w if f_ext is None else f_ext + f_ext_w
   # bias via the RNEA recursion: the einsum alternative (nonlinearities_w,
   # == rnea to round-off) measured ~1 ms/step SLOWER at B=2048 on the v5e —
   # its static-index gathers outweigh the saved op dispatches (in-process A/B)
@@ -212,6 +215,7 @@ def _pre_solve(
     tau: jnp.ndarray,
     pd_target: jnp.ndarray | None = None,
     config: StepConfig = StepConfig(),
+    f_ext_w: jnp.ndarray | None = None,
 ):
   """Everything up to the contact solve: returns solver inputs + apply context.
 
@@ -222,7 +226,7 @@ def _pre_solve(
   model = scene.model
   dt = scene.dt
   Jr, bias, mu, active, M, rhs0, u = _assemble_rows(
-      scene, state, tau, pd_target, config)
+      scene, state, tau, pd_target, config, f_ext_w)
   nc = Jr.shape[0]
   L = linalg.chol(M)
 
@@ -269,8 +273,9 @@ def step(
     tau: jnp.ndarray,
     pd_target: jnp.ndarray | None = None,
     config: StepConfig = StepConfig(),
+    f_ext_w: jnp.ndarray | None = None,
 ) -> State:
-  solver_in, ctx = _pre_solve(scene, state, tau, pd_target, config)
+  solver_in, ctx = _pre_solve(scene, state, tau, pd_target, config, f_ext_w)
   G, c0, mu, active = solver_in
   lam_loc = ct.solve_contacts(G, c0, mu, active, config=config.solver)
   return _post_solve(scene, state, ctx, lam_loc)
@@ -282,6 +287,7 @@ def step_batch(
     tau: jnp.ndarray,
     pd_target: jnp.ndarray | None = None,
     config: StepConfig = StepConfig(),
+    field_heights: jnp.ndarray | None = None,
 ) -> State:
   """Batched physics step: state/tau/pd_target carry a leading batch axis.
 
@@ -298,8 +304,13 @@ def step_batch(
   model = scene.model
   dt = scene.dt
 
-  def pre_one(s, t, p):
-    Jr, bias, mu, active, M, rhs0, u = _assemble_rows(scene, s, t, p, config)
+  def pre_one(s, t, p, h):
+    # per-world heightfield (batched terrain scenarios, SURVEY.md C5/C17):
+    # heights are Scene pytree leaves, so a replace under vmap batches terrains
+    # without recompilation or a second code path
+    sc = (scene if h is None
+          else scene.replace(field=scene.field.replace(heights=h)))
+    Jr, bias, mu, active, M, rhs0, u = _assemble_rows(sc, s, t, p, config)
     L = linalg.chol(M)
     invL = linalg.solve_lower(L, jnp.eye(model.nv, dtype=u.dtype))
     # apply M^-1 as (invL^T)(invL .): two MXU matmuls, no explicit inverse
@@ -308,8 +319,9 @@ def step_batch(
     return Jr, Wt.reshape(Jr.shape), vf, bias, mu, active
 
   pre = jax.vmap(pre_one,
-                 in_axes=(0, 0, 0 if pd_target is not None else None))
-  Jr, Wt, vf, bias, mu, active = pre(state, tau, pd_target)
+                 in_axes=(0, 0, 0 if pd_target is not None else None,
+                          0 if field_heights is not None else None))
+  Jr, Wt, vf, bias, mu, active = pre(state, tau, pd_target, field_heights)
 
   kinds = scene_row_kinds(scene)
   # Per-section count check (advisor round-2): the contacts-then-constraints row

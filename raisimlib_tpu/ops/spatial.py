@@ -289,3 +289,12 @@ def spatial_inertia(mass, com, inertia_com):
 
 def kinetic_energy(I6, v):
   return 0.5 * jnp.dot(v, I6 @ v)
+
+
+def force_at_point(point_w, force_w, torque_w=None):
+  """World wrench [torque_at_origin, force] for a force applied at a world
+  point (+ optional pure torque): the 6-vector convention rnea/step expect."""
+  tau = jnp.cross(point_w, force_w)
+  if torque_w is not None:
+    tau = tau + torque_w
+  return jnp.concatenate([tau, force_w], axis=-1)

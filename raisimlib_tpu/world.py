@@ -305,6 +305,9 @@ class World:
       materials = jnp.asarray(self._material_pair_table(), dtype=self.dtype)
       tables = cs.build_tables(model, joint_limits, wires=self._wires,
                                pins=self._pins, compliant=self._compliant)
+      objects = tuple(
+          (h.name, h.q_slice.start, h.q_slice.stop, h.v_slice.start,
+           h.v_slice.stop, h.body_start) for h in self._handles)
       scene = Scene(
           model=model,
           geoms=geom_table,
@@ -316,6 +319,7 @@ class World:
           kd=jnp.zeros((model.nv,), dtype=self.dtype),
           field=self._field,
           constraints=tables,
+          objects=objects,
       )
     return scene
 
@@ -334,9 +338,52 @@ class Scene:
   kd: jnp.ndarray = None          # (nv,) PD damping
   field: Any = None               # HeightField terrain, or None
   constraints: Any = struct.field(pytree_node=False, default=None)  # ConstraintTables
+  # name registry: (name, q_start, q_stop, v_start, v_stop, body_start) per object
+  objects: tuple = struct.field(pytree_node=False, default=())
 
   def init_state(self, q=None, u=None) -> State:
     return integrator.init_state(self.model, q, u)
+
+  # -- per-object accessors (RaiSim's name registry + getState/setState,
+  # SURVEY.md C12: "name -> object registry") --------------------------------
+  @property
+  def object_names(self) -> tuple:
+    return tuple(o[0] for o in self.objects)
+
+  def _object(self, name: str):
+    for o in self.objects:
+      if o[0] == name:
+        return o
+    raise KeyError(f"unknown object {name!r}; registered: {self.object_names}")
+
+  def object_state(self, state: State, name: str):
+    """(q_obj, u_obj) slices of the named object's generalized state."""
+    _, q0, q1, v0, v1, _ = self._object(name)
+    return state.q[..., q0:q1], state.u[..., v0:v1]
+
+  def set_object_state(self, state: State, name: str, q=None, u=None) -> State:
+    """Functional per-object setState: returns a new State with the named
+    object's coordinates and/or velocities replaced."""
+    _, q0, q1, v0, v1, _ = self._object(name)
+    qn, un = state.q, state.u
+    if q is not None:
+      qn = qn.at[..., q0:q1].set(jnp.asarray(q, qn.dtype))
+    if u is not None:
+      un = un.at[..., v0:v1].set(jnp.asarray(u, un.dtype))
+    return state.replace(q=qn, u=un)
+
+  def body_index(self, body_name: str) -> int:
+    """Static body index by name (RaiSim `getBodyIdx`)."""
+    return self.model.body_names.index(body_name)
+
+  def body_pose(self, state: State, body_name: str):
+    """(R, p) world pose of the named body at `state` (one FK evaluation —
+    observability surface, not the hot path; jit it for repeated use)."""
+    from raisimlib_tpu.ops import dynamics
+
+    kin = dynamics.fk(self.model, state.q, state.u)
+    b = self.body_index(body_name)
+    return kin.R[b], kin.p[b]
 
   def set_pd_gains(self, kp, kd) -> "Scene":
     """Per-dof PD gains (RaiSim `setPdGains`); scalars broadcast over actuated dofs.
@@ -353,28 +400,50 @@ class Scene:
       state: State,
       tau: Optional[jnp.ndarray] = None,
       pd_target: Optional[jnp.ndarray] = None,
+      f_ext_w: Optional[jnp.ndarray] = None,
   ) -> State:
-    """One physics step: collision -> contact solve -> integrate (SURVEY.md §3.1)."""
+    """One physics step: collision -> contact solve -> integrate (SURVEY.md §3.1).
+
+    `f_ext_w`: optional (nb, 6) external spatial forces, world frame at the
+    world origin ([torque_at_origin, force]; build per-point wrenches with
+    `Scene.external_force` / `spatial.force_at_point`) — RaiSim's
+    `setExternalForce`, functional-style."""
     from raisimlib_tpu.ops import pipeline
 
     if tau is None:
       tau = jnp.zeros((self.model.nv,), dtype=state.q.dtype)
-    return pipeline.step(self, state, tau, pd_target)
+    return pipeline.step(self, state, tau, pd_target, f_ext_w=f_ext_w)
+
+  def external_force(self, body_name: str, point_w, force_w,
+                     dtype=None) -> jnp.ndarray:
+    """(nb, 6) world-frame wrench table applying `force_w` at world point
+    `point_w` on the named body (zero elsewhere) — feed to `step(f_ext_w=...)`."""
+    from raisimlib_tpu.ops import spatial as sp
+
+    dtype = dtype or self.model.q_init.dtype
+    b = self.body_index(body_name)
+    w = sp.force_at_point(jnp.asarray(point_w, dtype), jnp.asarray(force_w, dtype))
+    out = jnp.zeros((self.model.nb, 6), dtype)
+    return out.at[b].set(w)
 
   def step_batch(
       self,
       state: State,
       tau: Optional[jnp.ndarray] = None,
       pd_target: Optional[jnp.ndarray] = None,
+      field_heights: Optional[jnp.ndarray] = None,
   ) -> State:
     """Batched step (leading batch axis on state/tau/pd_target): same math as
     `vmap(step)` but the contact solve runs as one fused Pallas kernel with the
-    batch on the TPU lane axis — the throughput path for rollouts/MPPI/RL."""
+    batch on the TPU lane axis — the throughput path for rollouts/MPPI/RL.
+    `field_heights` (B, nx, ny) gives each world its own heightfield (batched
+    terrain scenarios)."""
     from raisimlib_tpu.ops import pipeline
 
     if tau is None:
       tau = jnp.zeros((state.q.shape[0], self.model.nv), dtype=state.q.dtype)
-    return pipeline.step_batch(self, state, tau, pd_target)
+    return pipeline.step_batch(self, state, tau, pd_target,
+                               field_heights=field_heights)
 
   def step_smooth(self, state: State, tau: Optional[jnp.ndarray] = None) -> State:
     if tau is None:
