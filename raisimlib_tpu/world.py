@@ -233,6 +233,72 @@ class World:
                                  np.zeros(3), np.eye(3), material, mesh=V))
     return h
 
+  def add_compound(self, children, mass: float, name="compound", material=0,
+                   pos=(0.0, 0.0, 1.0), inertia=None,
+                   com=(0.0, 0.0, 0.0)) -> _ObjectHandle:
+    """Rigid body composed of several primitive collision geoms (RaiSim
+    `Compound`): one FREE-joint body, many geoms.
+
+    children: list of dicts {type: "sphere"|"box"|"capsule"|"cylinder",
+    params: [...], pos: (3,), rot: (3,3) optional, material: int optional}.
+    params per type: sphere [r]; box [hx,hy,hz]; capsule/cylinder [r, hl].
+    `inertia` (3,3 about the COM) defaults to the mass-weighted sum of the
+    children's primitive inertias via the parallel-axis theorem, with mass
+    split proportional to child volume."""
+    import math
+
+    def _vol(t, p):
+      if t == "sphere":
+        return 4.0 / 3.0 * math.pi * p[0] ** 3
+      if t == "box":
+        return 8.0 * p[0] * p[1] * p[2]
+      if t == "capsule":
+        return math.pi * p[0] ** 2 * (2 * p[1]) + 4.0 / 3.0 * math.pi * p[0] ** 3
+      if t == "cylinder":
+        return math.pi * p[0] ** 2 * (2 * p[1])
+      raise ValueError(t)
+
+    def _prim_inertia(t, p, m):
+      if t == "sphere":
+        return 0.4 * m * p[0] ** 2 * np.eye(3)
+      if t == "box":
+        hx, hy, hz = p
+        return m / 3.0 * np.diag([hy * hy + hz * hz, hx * hx + hz * hz,
+                                  hx * hx + hy * hy])
+      # capsule/cylinder along z (capsule approximated as cylinder of same
+      # total length for the default inertia — pass `inertia` for exactness)
+      r, hl = p[0], p[1]
+      l = 2 * hl
+      Ixx = m * (3 * r * r + l * l) / 12.0
+      return np.diag([Ixx, Ixx, 0.5 * m * r * r])
+
+    gtype_map = {"sphere": GEOM_SPHERE, "box": GEOM_BOX,
+                 "capsule": GEOM_CAPSULE, "cylinder": GEOM_CYLINDER}
+    vols = [_vol(c["type"], c["params"]) for c in children]
+    vtot = sum(vols)
+    if inertia is None:
+      I = np.zeros((3, 3))
+      for c, v in zip(children, vols):
+        mi = mass * v / vtot
+        ci = np.asarray(c.get("pos", (0, 0, 0)), dtype=np.float64) - np.asarray(com)
+        R = np.asarray(c.get("rot", np.eye(3)), dtype=np.float64)
+        Ii = R @ _prim_inertia(c["type"], c["params"], mi) @ R.T
+        I += Ii + mi * (np.dot(ci, ci) * np.eye(3) - np.outer(ci, ci))
+      inertia = I
+    spec = dict(parent=-1, joint=JointType.FREE, mass=mass, com=list(com),
+                inertia=np.asarray(inertia), actuated=False, name=name,
+                q_init=list(pos) + [1.0, 0.0, 0.0, 0.0])
+    h = self._merge_model_bodies([spec], name)
+    obj = len(self._handles) - 1
+    for c in children:
+      self._geoms.append(_GeomSpec(
+          h.body_start, gtype_map[c["type"]],
+          np.resize(np.asarray(c["params"], dtype=np.float64), 4),
+          np.asarray(c.get("pos", np.zeros(3)), dtype=np.float64),
+          np.asarray(c.get("rot", np.eye(3)), dtype=np.float64),
+          int(c.get("material", material)), obj=obj))
+    return h
+
   def add_ground(self, height: float = 0.0, material: int = 0) -> None:
     self._geoms.append(_GeomSpec(-1, GEOM_PLANE, np.array([height, 0, 0, 0]),
                                  np.zeros(3), np.eye(3), material))

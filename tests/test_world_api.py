@@ -115,3 +115,45 @@ class TestExternalForce:
     slide = push(8.0)
     assert abs(float(hold.q[0])) < 1e-3, float(hold.q[0])
     assert float(slide.q[0]) > 0.05, float(slide.q[0])
+
+
+class TestCompound:
+  def test_dumbbell_rests_on_both_spheres(self):
+    """Compound of two spheres on a bar (dumbbell): both sphere geoms collide,
+    the body rests level on the plane at z = r."""
+    world = World(dt=0.002, dtype=F64)
+    world.add_compound(
+        [{"type": "sphere", "params": [0.1], "pos": (-0.2, 0.0, 0.0)},
+         {"type": "sphere", "params": [0.1], "pos": (0.2, 0.0, 0.0)},
+         {"type": "capsule", "params": [0.03, 0.17], "pos": (0.0, 0.0, 0.0),
+          "rot": np.array([[0.0, 0.0, 1.0], [0.0, 1.0, 0.0],
+                           [-1.0, 0.0, 0.0]])}],
+        mass=2.0, name="dumbbell", pos=(0.0, 0.0, 0.5))
+    world.add_ground()
+    scene = world.compile()
+
+    @jax.jit
+    def run(s):
+      def body(s, _):
+        return scene.step(s), None
+
+      s, _ = jax.lax.scan(body, s, None, length=800)
+      return s
+
+    s = run(scene.init_state())
+    assert abs(float(s.q[2]) - 0.1) < 5e-3, float(s.q[2])
+    # level: quaternion stays ~identity (no roll onto one sphere)
+    assert abs(float(s.q[3]) - 1.0) < 1e-2
+    assert float(jnp.abs(s.u).max()) < 0.05
+
+  def test_compound_inertia_default_is_parallel_axis(self):
+    world = World(dt=0.002, dtype=F64)
+    world.add_compound(
+        [{"type": "sphere", "params": [0.1], "pos": (-0.2, 0.0, 0.0)},
+         {"type": "sphere", "params": [0.1], "pos": (0.2, 0.0, 0.0)}],
+        mass=2.0, name="d", pos=(0.0, 0.0, 1.0))
+    scene = world.compile()
+    I6 = np.asarray(scene.model.inertia[0])
+    # Iyy ~ 2 * (0.4 m r^2 + m d^2) with m=1 per sphere, d=0.2
+    expect = 2 * (0.4 * 1.0 * 0.01 + 1.0 * 0.04)
+    assert abs(I6[1, 1] - expect) < 1e-9, (I6[1, 1], expect)
