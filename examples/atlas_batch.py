@@ -64,10 +64,15 @@ def run(smoke: bool = False, scaling: bool = False,
   out = rollout(states)
   jax.block_until_ready(out.q)
   compile_s = time.perf_counter() - t0
-  t0 = time.perf_counter()
-  out = rollout(states)
-  jax.block_until_ready(out.q)
-  wall_s = time.perf_counter() - t0
+  # time with PERTURBED inputs: re-invoking with bit-identical buffers can hit
+  # a remote-executor result cache on this backend and report absurd rates
+  wall_s = float("inf")
+  for i in range(2):
+    si = states.replace(q=states.q + (i + 1) * 1e-7)
+    t0 = time.perf_counter()
+    out = rollout(si)
+    jax.block_until_ready(out.q)
+    wall_s = min(wall_s, time.perf_counter() - t0)
 
   heights = np.asarray(out.q[:, 2])
   result = {

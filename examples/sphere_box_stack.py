@@ -25,7 +25,10 @@ def run(smoke: bool = False, metrics_path: str = "metrics/sphere_box_stack.jsonl
   world, _ = scenarios.build_world(cfg, dtype=dtype)
   scene = world.compile()
   s0 = scene.init_state()
-  s0 = s0.replace(u=s0.u.at[9].set(rcfg["kick_m_s"]))  # sideways sphere kick
+  # kick the BOX sideways: sliding friction stops a box, so the stack must
+  # re-settle (a kicked SPHERE transitions to rolling at 5/7 v0 and rolls off
+  # the box — no gate can hold without rolling resistance; found round 3)
+  s0 = s0.replace(u=s0.u.at[3].set(rcfg["kick_m_s"]))
 
   seconds = rcfg["smoke_seconds"] if smoke else rcfg["sim_seconds"]
   n = int(seconds / dt)

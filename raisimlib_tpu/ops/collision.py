@@ -256,10 +256,13 @@ def _sphere_box(geoms, ia, ib, kin):
   dist = jnp.sqrt(jnp.sum(delta * delta) + 1e-18)
   outside = dist > 1e-9
   n_out = delta / dist
-  # inside: push along the face with least penetration
+  # inside: push along the face with least penetration. sign() must never
+  # return 0 here (a center exactly on a face plane would yield a zero normal
+  # -> singular contact block -> impulse blow-up; observed as f32 NaN on TPU)
   face_pen = he - jnp.abs(cl)                # >= 0 when inside
   k = jnp.argmin(face_pen)
-  n_in = jnp.sign(cl) * jax.nn.one_hot(k, 3, dtype=cl.dtype)
+  sgn = jnp.where(cl >= 0.0, 1.0, -1.0)
+  n_in = sgn * jax.nn.one_hot(k, 3, dtype=cl.dtype)
   n_local = jnp.where(outside, n_out, n_in)
   depth = jnp.where(outside, r - dist, r + face_pen[k])
   surf_local = jnp.where(outside, clamped, cl + n_in * face_pen[k])
@@ -403,10 +406,11 @@ def _sphere_cylinder(geoms, ia, ib, kin):
   pen_side = r - rho
   pen_cap = hl - jnp.abs(z)
   side_wins = pen_side <= pen_cap
+  sz = jnp.where(z >= 0.0, 1.0, -1.0)      # never 0 (zero normal -> NaN risk)
   n_in = jnp.where(side_wins, rho_dir,
-                   jnp.array([0.0, 0.0, 1.0], d.dtype) * jnp.sign(z))
+                   jnp.array([0.0, 0.0, 1.0], d.dtype) * sz)
   cl_in = jnp.where(side_wins, rho_dir * r + jnp.array([0.0, 0.0, 1.0], d.dtype) * z,
-                    rho_v + jnp.array([0.0, 0.0, 1.0], d.dtype) * jnp.sign(z) * hl)
+                    rho_v + jnp.array([0.0, 0.0, 1.0], d.dtype) * sz * hl)
   n_local = jnp.where(inside, n_in, n_out)
   depth = jnp.where(inside, ra + jnp.minimum(pen_side, pen_cap), ra - dist)
   surf = jnp.where(inside, cl_in, cl_out)

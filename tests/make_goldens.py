@@ -80,8 +80,9 @@ def golden_sphere_box():
   world.add_sphere(0.12, mass=1.0, pos=(0.05, 0.0, 0.45))
   scene = world.compile()
   s0 = scene.init_state()
-  # small initial sideways velocity on the sphere so friction matters
-  u0 = s0.u.at[9].set(0.3)
+  # small sideways kick on the BOX so stick/slip friction matters (a kicked
+  # sphere would transition to rolling and never settle — see the example)
+  u0 = s0.u.at[3].set(0.3)
   s0 = s0.replace(u=u0)
 
   N = 400
