@@ -67,7 +67,10 @@ def mppi_step(
       return s, s
 
     _, out = jax.lax.scan(body, jnp.zeros((nu,), dtype), e)
-    return out / jnp.sqrt(1.0 - config.smooth**2 + 1e-6)  # variance-normalize
+    # steady-state std of s*prev + (1-s)*e is sigma*sqrt((1-s)/(1+s)) — divide
+    # by that so the effective exploration std is the configured sigma
+    # (advisor round-3: sqrt(1-s^2) silently shrank sigma by 1/(1+s))
+    return out / jnp.sqrt((1.0 - config.smooth) / (1.0 + config.smooth) + 1e-9)
 
   eps = jax.vmap(colorize)(eps_white)
   # keep one unperturbed rollout (sample 0) so the plan can never regress
@@ -103,7 +106,8 @@ def _colorize(eps_white, smooth):
       return s, s
 
     _, out = jax.lax.scan(body, jnp.zeros((nu,), dtype), e)
-    return out / jnp.sqrt(1.0 - smooth**2 + 1e-6)
+    # same normalization as mppi_step's colorize (see comment there)
+    return out / jnp.sqrt((1.0 - smooth) / (1.0 + smooth) + 1e-9)
 
   flat = eps_white.reshape((-1, H, nu))
   return jax.vmap(one)(flat).reshape(lead + (H, nu))

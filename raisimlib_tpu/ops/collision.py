@@ -81,13 +81,28 @@ def hull_support_sample(verts: np.ndarray, k: int = MAX_MESH_VERTS) -> np.ndarra
   verts = np.asarray(verts, np.float64).reshape(-1, 3)
   if len(verts) <= k:
     return verts
+  import warnings
+
+  warnings.warn(
+      f"hull_support_sample: reducing a {len(verts)}-vertex hull to <= {k} "
+      f"support vertices (exact for vertex contacts; conservative on "
+      f"faces/edges)", stacklevel=2)
   idx = np.arange(k)
   phi = np.pi * (3.0 - np.sqrt(5.0)) * idx
   z = 1.0 - 2.0 * (idx + 0.5) / k
   r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
   dirs = np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
   picked = np.unique(np.argmax(verts @ dirs.T, axis=0))
-  return verts[picked]
+  # degenerate clouds (near-coplanar / highly symmetric) can collapse to < 4
+  # unique support vertices — top up with farthest-point vertices so the
+  # downstream "mesh hull needs >= 4 vertices" invariant always holds
+  # (advisor round-3)
+  while len(picked) < min(4, len(verts)):
+    d2 = np.min(
+        np.sum((verts[:, None, :] - verts[picked][None, :, :]) ** 2, axis=2),
+        axis=1)
+    picked = np.append(picked, int(np.argmax(d2)))
+  return verts[np.sort(picked)]
 
 
 def build_geom_table(specs: Sequence, dtype=jnp.float32) -> GeomTable:

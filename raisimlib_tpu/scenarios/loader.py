@@ -21,7 +21,13 @@ Schema (all keys optional unless noted):
       - {type: sphere, radius, mass, pos, material}
       - {type: box, half_extents, mass, pos, material}
       - {type: capsule, radius, half_length, mass, pos, material}
-      - {type: heightmap, size: [x,y], samples: [nx,ny], z_scale: float}
+      - {type: heightmap, size: [x,y], samples: [nx,ny]}
+        # NOTE: build_world always builds the heightmap FLAT — terrain height
+        # amplitude/roughness comes from the top-level `terrain:` section,
+        # which examples consume to generate per-world height arrays batched
+        # through `step_batch(field_heights=...)`. Unknown heightmap keys are
+        # rejected at load time (advisor round-3: a documented-but-ignored
+        # z_scale key silently produced flat terrain).
     materials: [{mu, restitution, threshold}, ...]   # index 0 = default
     pd_gains: {kp, kd}
   controller: {...}          # free-form dict for the MPC layer
@@ -62,6 +68,13 @@ def load(name: str) -> dict:
       if t not in _OBJECT_TYPES:
         raise ValueError(f"{path}: unknown object type {t!r} "
                          f"(expected one of {_OBJECT_TYPES})")
+      if t == "heightmap":
+        unknown = set(obj) - {"type", "size", "samples", "material", "name"}
+        if unknown:
+          raise ValueError(
+              f"{path}: unknown heightmap key(s) {sorted(unknown)} — terrain "
+              f"amplitude/roughness belongs in the top-level 'terrain:' "
+              f"section, not the heightmap object")
   return cfg
 
 

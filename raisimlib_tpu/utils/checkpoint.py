@@ -44,7 +44,10 @@ def save(path: str, tree: Any, **scalars) -> None:
   os.makedirs(d, exist_ok=True)
   tmp = path + ".tmp"
   with open(tmp, "wb") as f:
-    np.savez(f, **arrays, allow_pickle=True)
+    # NOTE: np.savez has no allow_pickle kwarg (np.save's default already
+    # permits the object-dtype __paths__ array); passing one would be silently
+    # stored as a junk array named 'allow_pickle' (advisor round-3)
+    np.savez(f, **arrays)
   os.replace(tmp, path)  # atomic: a crash mid-save never corrupts `path`
 
 
