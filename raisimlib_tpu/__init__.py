@@ -13,5 +13,18 @@ axis is supplied by `vmap`/`shard_map`, never hand-rolled.
 
 __version__ = "0.1.0"
 
+import jax as _jax
+
+# TPU matmuls/einsums default to BFLOAT16 inputs. Physics is full of
+# catastrophic cancellations that bf16 cannot represent — the world-frame
+# inertia congruence (crba_w/inertia_world) reconstructs a small rotational
+# inertia as the difference of large parallel-axis terms, and for a body a
+# few meters from the origin that difference underflows to EXACTLY ZERO in
+# bf16, making the mass matrix singular and the step NaN (observed on a v5e:
+# a cone at x=2 m produced M[8,8] = 4.0 - 3.988 -> 0). Demand true f32
+# multiply-accumulate engine-wide; users who want bf16 for co-resident NN
+# code can override per-op with `precision=` or reset this config afterward.
+_jax.config.update("jax_default_matmul_precision", "float32")
+
 from raisimlib_tpu.models.model import RobotModel, JointType  # noqa: F401
 from raisimlib_tpu.world import World  # noqa: F401
