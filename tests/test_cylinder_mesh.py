@@ -182,12 +182,30 @@ class TestMesh:
 
 class TestNoSilentDrops:
   def test_unsupported_pair_warns(self):
+    # round 4: cylinder-box (and every other primitive cross pair) now has a
+    # kernel (_support_pair); the only remaining hole in the matrix is
+    # cone-vs-heightmap, which must still warn rather than silently drop
+    from raisimlib_tpu.utils import terrain
+
+    world = World(dt=0.002, dtype=F64)
+    world.add_cone(radius=0.1, height=0.2, mass=1.0, pos=(0, 0, 0.5))
+    world.add_heightmap(terrain.flat(0.0))
+    with pytest.warns(UserWarning, match="no narrow-phase kernel"):
+      world.compile()
+
+  def test_cylinder_box_pair_supported(self):
+    # the exact scene the round-3 advisor flagged as a regression (cylinder
+    # feet vs boxes falling through) now compiles with active pair kernels
+    import warnings
+
     world = World(dt=0.002, dtype=F64)
     world.add_cylinder(radius=0.1, half_length=0.1, mass=1.0, pos=(0, 0, 0.5))
     world.add_box((0.2, 0.2, 0.2), mass=1.0, pos=(0, 0, 0.1))
     world.add_ground()
-    with pytest.warns(UserWarning, match="no narrow-phase kernel"):
-      world.compile()
+    with warnings.catch_warnings():
+      warnings.simplefilter("error")
+      scene = world.compile()
+    assert len(scene.pairs) == 3    # cyl-box, cyl-plane, box-plane
 
   def test_supported_scene_does_not_warn(self):
     import warnings
