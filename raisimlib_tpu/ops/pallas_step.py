@@ -1,0 +1,952 @@
+"""Fused full-physics-step Pallas TPU megakernel (round 4).
+
+Round-3 profiling (metrics/step_profile_r03.md) showed the batched contact step
+capped by the XLA-side ASSEMBLY chain — FK recursion, narrow phase, CRBA,
+RNEA, Cholesky, W = J M^-1 formation — a ~1.3 ms/step sequence of small ops
+that is latency- (not bandwidth-) bound and flat in batch size. The measured
+negative results (fk_levels, nonlinearities_w) showed the fix is NOT
+reshuffling XLA ops but moving assembly INTO kernel space. This module does
+that: ONE Pallas kernel per scene computes, per batch tile with the batch on
+the TPU lane axis,
+
+    PD torque -> FK -> RNEA bias -> CRBA mass matrix -> narrow phase ->
+    contact/limit solver rows -> Cholesky -> triangular solves (v_free, W) ->
+    matrix-free Gauss-Seidel cone solve -> integrate
+
+with zero HBM round-trips for intermediates. Every per-world scalar is a
+(T,)-lane vector; the static model tree unrolls at trace time through a tiny
+scalar algebra whose python-float constants fold and whose structural zeros
+vanish (identity frame rotations, unit joint axes, ancestor sparsity), so the
+emitted op count tracks the model's true structure.
+
+This is the TPU-native analog of the reference engine's single fused
+`World::integrate()` call (SURVEY.md §3.1): where RaiSim's C++ runs the whole
+step in one cache-resident pass per world, this kernel runs it in one
+VMEM-resident pass per 128 worlds.
+
+Scope (checked by `_analyze`; unsupported scenes raise FusedStepUnsupported
+and callers fall back to ops/pipeline.step_batch):
+  * joints: FREE roots, REVOLUTE, PRISMATIC (SPHERICAL -> fallback)
+  * contacts: sphere-vs-plane and box-vs-plane (the graded ANYmal balance /
+    cartpole / realtime-MPC configs); other pairs -> fallback
+  * constraint rows: joint limits (wires/pins/compliant -> fallback)
+  * no heightmap field, no external wrenches, f32 only
+
+Parity: bit-compatible math with pipeline.step_batch (same formulas, same row
+order, same solver semantics) up to f32 reassociation — tested in
+tests/test_pallas_step.py. Gradients: `make_step_batch_fused` wraps the kernel
+in a custom VJP whose backward re-derives through the differentiable pure path
+(same split as ops/pallas_contact.solve_dynamics_batch).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from raisimlib_tpu.models.model import JointType
+from raisimlib_tpu.ops import collision as coll
+from raisimlib_tpu.ops.pallas_contact import _cone_solve_vec
+
+
+class FusedStepUnsupported(Exception):
+  """Scene outside the fused kernel's supported class; use the pure path."""
+
+
+def _pad8(n: int) -> int:
+  return ((n + 7) // 8) * 8
+
+
+# ---------------------------------------------------------------------------
+# Trace-time scalar algebra: a "scalar" is a python float (static) or a (T,)
+# lane vector. Static zeros/ones fold away, so the unrolled recursions emit
+# only the ops the model's structure actually needs.
+# ---------------------------------------------------------------------------
+
+
+def _is_c(x) -> bool:
+  return isinstance(x, (int, float))
+
+
+def _mul(a, b):
+  if _is_c(a) and _is_c(b):
+    return float(a) * float(b)
+  if _is_c(a):
+    if a == 0.0:
+      return 0.0
+    if a == 1.0:
+      return b
+    if a == -1.0:
+      return -b
+    return a * b
+  if _is_c(b):
+    return _mul(b, a)
+  return a * b
+
+
+def _add2(a, b):
+  if _is_c(a):
+    if a == 0.0:
+      return b
+    if _is_c(b):
+      return float(a) + float(b)
+  if _is_c(b) and b == 0.0:
+    return a
+  return a + b
+
+
+def _add(*xs):
+  out = 0.0
+  for x in xs:
+    out = _add2(out, x)
+  return out
+
+
+def _neg(a):
+  return -float(a) if _is_c(a) else -a
+
+
+def _sub(a, b):
+  return _add2(a, _neg(b))
+
+
+def _dot(u, v):
+  return _add(*[_mul(a, b) for a, b in zip(u, v)])
+
+
+def _vadd(u, v):
+  return tuple(_add2(a, b) for a, b in zip(u, v))
+
+
+def _vsub(u, v):
+  return tuple(_sub(a, b) for a, b in zip(u, v))
+
+
+def _vscale(s, u):
+  return tuple(_mul(s, a) for a in u)
+
+
+def _cross(u, v):
+  return (
+      _sub(_mul(u[1], v[2]), _mul(u[2], v[1])),
+      _sub(_mul(u[2], v[0]), _mul(u[0], v[2])),
+      _sub(_mul(u[0], v[1]), _mul(u[1], v[0])),
+  )
+
+
+def _mv(M, v):
+  """3x3 @ 3."""
+  return tuple(_dot(row, v) for row in M)
+
+
+def _mTv(M, v):
+  """3x3 transpose @ 3."""
+  return tuple(_dot((M[0][j], M[1][j], M[2][j]), v) for j in range(3))
+
+
+def _mm(A, B):
+  """3x3 @ 3x3."""
+  return tuple(
+      tuple(_dot(A[i], tuple(B[k][j] for k in range(3))) for j in range(3))
+      for i in range(3))
+
+
+def _mT(A):
+  return tuple(tuple(A[j][i] for j in range(3)) for i in range(3))
+
+
+def _m_add(A, B):
+  return tuple(tuple(_add2(a, b) for a, b in zip(ra, rb))
+               for ra, rb in zip(A, B))
+
+
+def _skew(v):
+  return ((0.0, _neg(v[2]), v[1]),
+          (v[2], 0.0, _neg(v[0])),
+          (_neg(v[1]), v[0], 0.0))
+
+
+_Z3 = ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
+_I3 = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+
+
+def _np_m(M):
+  return tuple(tuple(float(x) for x in row) for row in np.asarray(M))
+
+
+def _np_v(v):
+  return tuple(float(x) for x in np.asarray(v))
+
+
+# 6-vectors as (vec3, vec3) pairs; 6x6 as (A, B, C, D) 3x3 blocks.
+
+
+def _xf_motion(E, r, wv):
+  """Motion vector A-coords -> B-coords for X = (E, r) (mirror sp.xform_motion)."""
+  w, v = wv
+  return (_mv(E, w), _mv(E, _vsub(v, _cross(r, w))))
+
+
+def _xf_motion_inv(E, r, wv):
+  """Motion vector B-coords -> A-coords (mirror sp.xform_motion_inv)."""
+  w, v = wv
+  wp = _mTv(E, w)
+  return (wp, _vadd(_mTv(E, v), _cross(r, wp)))
+
+
+def _xf_force_inv(E, r, nf):
+  """Force vector B-coords -> A-coords (mirror sp.xform_force_inv)."""
+  n, f = nf
+  fp = _mTv(E, f)
+  return (_vadd(_mTv(E, n), _cross(r, fp)), fp)
+
+
+def _cross_motion(v, m):
+  w, vl = v
+  mw, ml = m
+  return (_cross(w, mw), _vadd(_cross(w, ml), _cross(vl, mw)))
+
+
+def _cross_force(v, f):
+  w, vl = v
+  n, fl = f
+  return (_vadd(_cross(w, n), _cross(vl, fl)), _cross(w, fl))
+
+
+def _I_mul(I4, wv):
+  """6x6 (A,B,C,D blocks) @ motion (w, v)."""
+  A, B, C, D = I4
+  w, v = wv
+  return (_vadd(_mv(A, w), _mv(B, v)), _vadd(_mv(C, w), _mv(D, v)))
+
+
+def _vadd6(*wvs):
+  w = (0.0, 0.0, 0.0)
+  v = (0.0, 0.0, 0.0)
+  for ww, vv in wvs:
+    w = _vadd(w, ww)
+    v = _vadd(v, vv)
+  return (w, v)
+
+
+def _b_mm(X, Y):
+  """6x6 block matmul: (A,B,C,D) @ (A,B,C,D)."""
+  XA, XB, XC, XD = X
+  YA, YB, YC, YD = Y
+  return (_m_add(_mm(XA, YA), _mm(XB, YC)), _m_add(_mm(XA, YB), _mm(XB, YD)),
+          _m_add(_mm(XC, YA), _mm(XD, YC)), _m_add(_mm(XC, YB), _mm(XD, YD)))
+
+
+def _b_T(X):
+  A, B, C, D = X
+  return (_mT(A), _mT(C), _mT(B), _mT(D))
+
+
+def _b_add(X, Y):
+  return tuple(_m_add(a, b) for a, b in zip(X, Y))
+
+
+def _quat_to_mat(qw, qx, qy, qz):
+  """Mirror sp.quat_to_mat on scalar components."""
+  xx, yy, zz = _mul(qx, qx), _mul(qy, qy), _mul(qz, qz)
+  xy, xz, yz = _mul(qx, qy), _mul(qx, qz), _mul(qy, qz)
+  wx, wy, wz = _mul(qw, qx), _mul(qw, qy), _mul(qw, qz)
+  return (
+      (_sub(1.0, _mul(2.0, _add2(yy, zz))), _mul(2.0, _sub(xy, wz)),
+       _mul(2.0, _add2(xz, wy))),
+      (_mul(2.0, _add2(xy, wz)), _sub(1.0, _mul(2.0, _add2(xx, zz))),
+       _mul(2.0, _sub(yz, wx))),
+      (_mul(2.0, _sub(xz, wy)), _mul(2.0, _add2(yz, wx)),
+       _sub(1.0, _mul(2.0, _add2(xx, yy)))),
+  )
+
+
+def _rodrigues(axis, c, s):
+  """R = I + s K + (1-c) K^2 for STATIC unit axis; c, s are (T,) lane vectors."""
+  K = _skew(axis)
+  KK = _mm(K, K)
+  one_c = _sub(1.0, c)
+  return tuple(
+      tuple(_add(_I3[i][j], _mul(s, K[i][j]), _mul(one_c, KK[i][j]))
+            for j in range(3)) for i in range(3))
+
+
+# ---------------------------------------------------------------------------
+# Static scene analysis
+# ---------------------------------------------------------------------------
+
+
+class _Slot(NamedTuple):
+  """One contact slot: geom A (on `body`) vs the static plane z = h."""
+
+  body: int
+  local: tuple          # contact feature point in body frame (static)
+  radius: float         # sphere radius (0.0 for box corners)
+  plane_h: float
+  mu: float
+  e: float
+  thresh: float
+
+
+class _Limit(NamedTuple):
+  vadr: int
+  qadr: int
+  lo: float
+  hi: float
+
+
+class _StaticData(NamedTuple):
+  """Everything the kernel needs, concretized to python/numpy at build time."""
+
+  # model
+  nb: int
+  nq: int
+  nv: int
+  parent: tuple
+  joint_types: tuple
+  q_adr: tuple
+  v_adr: tuple
+  axis: tuple           # per body, static 3-tuple
+  X_rotT: tuple         # per body, static 3x3 (transpose of parent->joint rot)
+  X_rot: tuple
+  X_pos: tuple
+  I6: tuple             # per body, (A, B, C, D) static 3x3 blocks
+  anc_dofs: tuple       # per body, tuple of ancestor dof indices
+  # actuation
+  actuated: tuple
+  torque_limit: tuple
+  kp: tuple
+  kd: tuple
+  jidx: tuple           # dof -> qpos index for 1-dof joints
+  jmask: tuple
+  use_pd: bool
+  # physics
+  dt: float
+  gravity: tuple
+  erp: float
+  slop: float
+  max_corr: float
+  sweeps: int
+  n_grid: int
+  # rows
+  slots: tuple          # of _Slot
+  limits: tuple         # of _Limit
+  ncp: int              # padded GS contact-row count
+  n_wrows: int          # solver rows needing W (3*ncone + nlim)
+  nrp: int              # padded solve-RHS column count (n_wrows + 1 for vf)
+
+
+def _analyze(scene, config, use_pd: bool) -> _StaticData:
+  """Concretize the scene to static kernel data; raise FusedStepUnsupported
+  for anything outside the kernel's scene class."""
+  from raisimlib_tpu.ops import constraints as cs
+
+  model = scene.model
+  for jt in model.joint_types:
+    if JointType(jt) not in (JointType.FREE, JointType.REVOLUTE,
+                             JointType.PRISMATIC):
+      raise FusedStepUnsupported(f"joint type {JointType(jt)!r}")
+  tabs = getattr(scene, "constraints", None) or cs.EMPTY
+  if tabs.wires or tabs.pins or tabs.compliant:
+    raise FusedStepUnsupported("wires/pins/compliant constraints")
+  if getattr(scene, "field", None) is not None:
+    raise FusedStepUnsupported("heightmap field")
+  geoms = scene.geoms
+  mats = np.asarray(scene.materials, np.float64)
+
+  slots = []
+  for ia, ib in scene.pairs:
+    ta, tb = geoms.gtype[ia], geoms.gtype[ib]
+    if tb != coll.GEOM_PLANE:
+      raise FusedStepUnsupported(f"pair types ({ta}, {tb})")
+    body = geoms.body[ia]
+    if body < 0:
+      raise FusedStepUnsupported("static non-plane geom")
+    h = float(np.asarray(geoms.params)[ib, 0])
+    opos = np.asarray(geoms.offset_pos)[ia]
+    orot = np.asarray(geoms.offset_rot)[ia]
+    mu, e, th = (float(x) for x in mats[geoms.material[ia], geoms.material[ib]])
+    p = np.asarray(geoms.params)[ia]
+    if ta == coll.GEOM_SPHERE:
+      slots.append(_Slot(body, _np_v(opos), float(p[0]), h, mu, e, th))
+    elif ta == coll.GEOM_BOX:
+      he = p[:3]
+      for sx in (-1.0, 1.0):
+        for sy in (-1.0, 1.0):
+          for sz in (-1.0, 1.0):
+            d = he * np.array([sx, sy, sz])
+            slots.append(_Slot(body, _np_v(opos + orot @ d), 0.0, h, mu, e, th))
+    else:
+      raise FusedStepUnsupported(f"geom type {ta} vs plane")
+
+  limits = tuple(
+      _Limit(int(v), int(q), float(lo), float(hi))
+      for v, q, lo, hi in zip(tabs.limit_vadr, tabs.limit_qadr,
+                              tabs.limit_lo, tabs.limit_hi))
+
+  if use_pd and scene.kp is None:
+    raise FusedStepUnsupported("use_pd=True but scene has no PD gains")
+
+  from raisimlib_tpu.ops.dynamics import ancestor_dof_mask
+
+  amask = ancestor_dof_mask(model)
+  anc = tuple(tuple(int(j) for j in np.nonzero(amask[b])[0])
+              for b in range(model.nb))
+
+  from raisimlib_tpu.ops.pipeline import _joint_pos_index
+
+  jidx, jmask = _joint_pos_index(model)
+
+  I6 = []
+  inr = np.asarray(model.inertia, np.float64)
+  for b in range(model.nb):
+    I6.append((_np_m(inr[b, :3, :3]), _np_m(inr[b, :3, 3:]),
+               _np_m(inr[b, 3:, :3]), _np_m(inr[b, 3:, 3:])))
+
+  nc_total = max(len(slots) + len(limits), 1)
+  ncp = _pad8(nc_total)
+  n_wrows = 3 * len(slots) + len(limits)
+  nrp = _pad8(n_wrows + 1)
+
+  kp = np.asarray(scene.kp, np.float64) if scene.kp is not None else np.zeros(
+      model.nv)
+  kd = np.asarray(scene.kd, np.float64) if scene.kd is not None else np.zeros(
+      model.nv)
+
+  return _StaticData(
+      nb=model.nb, nq=model.nq, nv=model.nv,
+      parent=tuple(model.parent),
+      joint_types=tuple(JointType(j) for j in model.joint_types),
+      q_adr=tuple(model.q_adr), v_adr=tuple(model.v_adr),
+      axis=tuple(_np_v(np.asarray(model.axis)[b]) for b in range(model.nb)),
+      X_rotT=tuple(_np_m(np.asarray(model.X_rot)[b].T)
+                   for b in range(model.nb)),
+      X_rot=tuple(_np_m(np.asarray(model.X_rot)[b]) for b in range(model.nb)),
+      X_pos=tuple(_np_v(np.asarray(model.X_pos)[b]) for b in range(model.nb)),
+      I6=tuple(I6), anc_dofs=anc,
+      actuated=_np_v(model.actuated),
+      torque_limit=_np_v(model.torque_limit),
+      kp=_np_v(kp), kd=_np_v(kd),
+      jidx=tuple(int(x) for x in jidx), jmask=_np_v(jmask),
+      use_pd=use_pd,
+      dt=float(scene.dt), gravity=_np_v(scene.gravity),
+      erp=float(config.erp), slop=float(config.slop),
+      max_corr=float(config.max_correction_vel),
+      sweeps=int(config.solver.sweeps), n_grid=int(config.solver.n_grid),
+      slots=tuple(slots), limits=limits,
+      ncp=ncp, n_wrows=n_wrows, nrp=nrp)
+
+
+# ---------------------------------------------------------------------------
+# Kernel emission
+# ---------------------------------------------------------------------------
+
+
+def _emit_fk_rnea(sd: _StaticData, q, u):
+  """FK + RNEA bias for one tile. Returns (E0, r0, Rquat, Sw, h) where
+  E0/r0 are per-body world->body transforms, Rquat the FREE bodies' raw
+  quaternion rotations (for integrate), Sw per-dof world subspace rows,
+  h the (nv,) bias torque list."""
+  nb, nv = sd.nb, sd.nv
+  E0 = [None] * nb
+  r0 = [None] * nb
+  EupL = [None] * nb
+  rupL = [None] * nb
+  Rquat = {}
+  Sbody = [None] * nb       # list of per-dof body-frame (w, v) rows
+  Sw = [None] * nv
+  vbody = [None] * nb
+  vJs = [None] * nb
+  cJs = [None] * nb
+
+  for i in range(nb):
+    jt = sd.joint_types[i]
+    qa, va = sd.q_adr[i], sd.v_adr[i]
+    XrT, Xr, Xp = sd.X_rotT[i], sd.X_rot[i], sd.X_pos[i]
+    if jt == JointType.FREE:
+      quat = (q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6])
+      pos = (q[qa], q[qa + 1], q[qa + 2])
+      R = _quat_to_mat(*quat)
+      Rquat[i] = (quat, R)
+      EJ = _mT(R)
+      rJ = pos
+      # S rows: ang k -> (e_k, 0); lin k -> (0, R[k, :])
+      Srows = [((_I3[k]), (0.0, 0.0, 0.0)) for k in range(3)]
+      Srows += [((0.0, 0.0, 0.0), tuple(R[k])) for k in range(3)]
+      w_b = (u[va], u[va + 1], u[va + 2])
+      v_b = _mTv(R, (u[va + 3], u[va + 4], u[va + 5]))
+      vJ = (w_b, v_b)
+      cJ = ((0.0, 0.0, 0.0), _vscale(-1.0, _cross(w_b, v_b)))
+    elif jt == JointType.REVOLUTE:
+      th = q[qa]
+      RJ = _rodrigues(sd.axis[i], jnp.cos(th), jnp.sin(th))
+      EJ = _mT(RJ)
+      rJ = (0.0, 0.0, 0.0)
+      Srows = [(sd.axis[i], (0.0, 0.0, 0.0))]
+      vJ = (_vscale(u[va], sd.axis[i]), (0.0, 0.0, 0.0))
+      cJ = ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
+    else:  # PRISMATIC
+      d = q[qa]
+      EJ = _I3
+      rJ = _vscale(d, sd.axis[i])
+      Srows = [((0.0, 0.0, 0.0), sd.axis[i])]
+      vJ = ((0.0, 0.0, 0.0), _vscale(u[va], sd.axis[i]))
+      cJ = ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
+    # Xup = compose(X_J, X_tree): E = EJ @ Xr^T; r = Xp + Xr @ rJ
+    Eup = _mm(EJ, XrT)
+    rup = _vadd(Xp, _mv(Xr, rJ))
+    EupL[i], rupL[i] = Eup, rup
+    Sbody[i] = Srows
+    vJs[i], cJs[i] = vJ, cJ
+    p = sd.parent[i]
+    if p < 0:
+      E0[i], r0[i] = Eup, rup
+      vbody[i] = vJ
+    else:
+      E0[i] = _mm(Eup, E0[p])
+      r0[i] = _vadd(r0[p], _mTv(E0[p], rup))
+      vbody[i] = _vadd6(_xf_motion(Eup, rup, vbody[p]), vJ)
+    for k, srow in enumerate(Srows):
+      Sw[va + k] = _xf_motion_inv(E0[i], r0[i], srow)
+
+  # RNEA with qdd = 0: bias h
+  g = sd.gravity
+  a_base = ((0.0, 0.0, 0.0), (-g[0], -g[1], -g[2]))
+  a = [None] * nb
+  f = [None] * nb
+  for i in range(nb):
+    p = sd.parent[i]
+    ap = a_base if p < 0 else a[p]
+    a[i] = _vadd6(_xf_motion(EupL[i], rupL[i], ap), cJs[i],
+                  _cross_motion(vbody[i], vJs[i]))
+    Iv = _I_mul(sd.I6[i], vbody[i])
+    f[i] = _vadd6(_I_mul(sd.I6[i], a[i]), _cross_force(vbody[i], Iv))
+
+  h = [0.0] * nv
+  for i in reversed(range(nb)):
+    va = sd.v_adr[i]
+    fn, fl = f[i]
+    for k, (sw, sv) in enumerate(Sbody[i]):
+      h[va + k] = _add2(_dot(sw, fn), _dot(sv, fl))
+    p = sd.parent[i]
+    if p >= 0:
+      f[p] = _vadd6(f[p], _xf_force_inv(EupL[i], rupL[i], f[i]))
+
+  return E0, r0, Rquat, Sw, h, EupL, rupL, Sbody
+
+
+def _emit_crba(sd: _StaticData, EupL, rupL, Sbody, D_diag):
+  """Composite-rigid-body mass matrix (+ implicit-PD dt*diag(D)) as a dense
+  python matrix of scalars (static zeros elided)."""
+  nb, nv = sd.nb, sd.nv
+  Ic = [sd.I6[i] for i in range(nb)]
+  M = [[0.0] * nv for _ in range(nv)]
+
+  def set_sym(i, j, val):
+    M[i][j] = val
+    if i != j:
+      M[j][i] = val
+
+  for i in reversed(range(nb)):
+    p = sd.parent[i]
+    if p >= 0:
+      E, r = EupL[i], rupL[i]
+      # Xm = [[E, 0], [-E r~, E]] (motion transform of Xup); congruence
+      # Xm^T Ic Xm accumulates the child composite into the parent
+      nEr = tuple(tuple(_neg(x) for x in row) for row in _mm(E, _skew(r)))
+      Xm = (E, _Z3, nEr, E)
+      Ic[p] = _b_add(Ic[p], _b_mm(_b_T(Xm), _b_mm(Ic[i], Xm)))
+    va = sd.v_adr[i]
+    nd = len(Sbody[i])
+    # F_k = Ic_i @ S_k ; diag block M[va+k, va+l] = S_l . F_k
+    Fs = [_I_mul(Ic[i], Sbody[i][k]) for k in range(nd)]
+    for k in range(nd):
+      for l in range(k, nd):
+        sw, sv = Sbody[i][l]
+        set_sym(va + k, va + l, _add2(_dot(sw, Fs[k][0]), _dot(sv, Fs[k][1])))
+    # walk ancestors: F <- Xm^T F; off-diag blocks
+    for k in range(nd):
+      Fc = Fs[k]
+      j = i
+      while sd.parent[j] >= 0:
+        Fc = _xf_force_inv(EupL[j], rupL[j], Fc)
+        j = sd.parent[j]
+        vb = sd.v_adr[j]
+        for l, (sw, sv) in enumerate(Sbody[j]):
+          set_sym(va + k, vb + l, _add2(_dot(sw, Fc[0]), _dot(sv, Fc[1])))
+
+  for j in range(nv):
+    if not (_is_c(D_diag[j]) and D_diag[j] == 0.0):
+      M[j][j] = _add2(M[j][j], _mul(sd.dt, D_diag[j]))
+  return M
+
+
+def _emit_chol(nv: int, M):
+  """Dense lower Cholesky over scalar entries; returns (L, invdiag)."""
+  L = [[0.0] * nv for _ in range(nv)]
+  invd = [None] * nv
+  for k in range(nv):
+    acc = M[k][k]
+    for j in range(k):
+      acc = _sub(acc, _mul(L[k][j], L[k][j]))
+    dk = jnp.sqrt(acc)
+    L[k][k] = dk
+    invd[k] = 1.0 / dk
+    for i in range(k + 1, nv):
+      s = M[i][k]
+      for j in range(k):
+        s = _sub(s, _mul(L[i][j], L[k][j]))
+      L[i][k] = _mul(invd[k], s)
+  return L, invd
+
+
+def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
+                 jt_scr, wt_scr, lam_scr, z_scr, *, sd: _StaticData, tile: int):
+  """One batch tile: the full physics step in VMEM (see module docstring)."""
+  T = tile
+  dtype = jnp.float32
+  nv, nq, nb = sd.nv, sd.nq, sd.nb
+  dt = sd.dt
+
+  q = [q_ref[i, :] for i in range(nq)]
+  u = [u_ref[i, :] for i in range(nv)]
+
+  # ---- A. actuation: feedforward + implicit PD, clamp (mirror _assemble_rows)
+  tau = [0.0] * nv
+  D_diag = [0.0] * nv
+  for j in range(nv):
+    t = _mul(sd.actuated[j], tau_ref[j, :])
+    if sd.use_pd:
+      if sd.actuated[j] != 0.0 and sd.jmask[j] != 0.0:
+        t = _add2(t, _mul(sd.kp[j] * sd.actuated[j],
+                          _sub(pd_ref[j, :], q[sd.jidx[j]])))
+      D_diag[j] = sd.kd[j] * sd.actuated[j]
+    tl = sd.torque_limit[j]
+    if not _is_c(t):
+      t = jnp.clip(t, -tl, tl)
+    tau[j] = t
+
+  # ---- B/C. FK + RNEA ----
+  E0, r0, Rquat, Sw, h, EupL, rupL, Sbody = _emit_fk_rnea(sd, q, u)
+
+  # ---- D. CRBA + Cholesky ----
+  M = _emit_crba(sd, EupL, rupL, Sbody, D_diag)
+  L, invd = _emit_chol(nv, M)
+
+  # ---- E. contact + limit rows (static plane frames t1=+y, t2=-x, n=+z,
+  #      matching pipeline._tangent_frames for n = z) ----
+  ncone = len(sd.slots)
+  nlim = len(sd.limits)
+  Jrows = [dict() for _ in range(3 * ncone + nlim)]   # row -> {dof: scalar}
+  bias = [0.0] * (3 * ncone + nlim)
+  act = [None] * (ncone + nlim)
+  mu_stat = [0.0] * ncone
+
+  for s_i, slot in enumerate(sd.slots):
+    b = slot.body
+    Rb = _mT(E0[b])                     # body -> world
+    cpt = _vadd(r0[b], _mv(Rb, slot.local))      # feature point, world
+    depth = _sub(slot.plane_h + slot.radius, cpt[2])
+    pos = (cpt[0], cpt[1], _sub(cpt[2], slot.radius))
+    act[s_i] = (depth > 0).astype(dtype)
+    mu_stat[s_i] = slot.mu
+    r_t1, r_t2, r_n = 3 * s_i, 3 * s_i + 1, 3 * s_i + 2
+    vn_pre = 0.0
+    for j in sd.anc_dofs[b]:
+      ang, lin = Sw[j][0], Sw[j][1]
+      col = _vadd(lin, _cross(ang, pos))
+      Jrows[r_t1][j] = col[1]            # . t1 = +y
+      Jrows[r_t2][j] = _neg(col[0])      # . t2 = -x
+      Jrows[r_n][j] = col[2]             # . n  = +z
+      vn_pre = _add2(vn_pre, _mul(col[2], u[j]))
+    b_baum = jnp.minimum(
+        sd.erp * jnp.maximum(depth - sd.slop, 0.0) / dt, sd.max_corr)
+    if slot.e > 0.0:
+      b_rest = jnp.where(vn_pre < -slot.thresh, -slot.e * vn_pre, 0.0)
+      bias[r_n] = jnp.maximum(b_rest, b_baum)
+    else:
+      bias[r_n] = b_baum
+
+  for k, lim in enumerate(sd.limits):
+    row = 3 * ncone + k
+    q_pred = _add2(q[lim.qadr], _mul(dt, u[lim.vadr]))
+    near_hi = q_pred > lim.hi
+    near_lo = q_pred < lim.lo
+    s = jnp.where(near_hi, -1.0, 1.0).astype(dtype)
+    viol = jnp.maximum(lim.lo - q_pred, q_pred - lim.hi)
+    bias[row] = jnp.clip(sd.erp * jnp.maximum(viol, 0.0) / dt, 0.0, sd.max_corr)
+    act[ncone + k] = (near_lo | near_hi).astype(dtype)
+    Jrows[row][lim.vadr] = s
+
+  # ---- F. triangular solves: columns = W rows (J M^-1) + v_free rhs ----
+  # jt_scr (nv, nrp, T) holds the RHS matrix [J^T | rhs0] dof-major; the
+  # subs run in place with (nrp, T)-slab FMAs (one per L entry), then the
+  # result transposes into wt_scr rows for the Gauss-Seidel z updates.
+  rhs0 = [_sub(_sub(tau[j], h[j]), _mul(D_diag[j], u[j])) for j in range(nv)]
+  nw, nrp = sd.n_wrows, sd.nrp
+  vf_col = nw
+
+  jt_scr[:, :, :] = jnp.zeros((nv, nrp, T), dtype)
+  for row in range(nw):
+    for j, val in Jrows[row].items():
+      jt_scr[j, row, :] = _asvec(val, T, dtype)
+  for j in range(nv):
+    jt_scr[j, vf_col, :] = _asvec(rhs0[j], T, dtype)
+
+  def rowmul(x, s):
+    # (n, T) * per-lane scalar; s may be (T,), 0-d (all-static model entries
+    # collapse to traced scalars), or a python float
+    if _is_c(s) or getattr(s, "ndim", 1) == 0:
+      return x * s
+    return x * s[None, :]
+
+  for i in range(nv):                    # forward: L y = rhs
+    acc = jt_scr[i]
+    for j in range(i):
+      if not (_is_c(L[i][j]) and L[i][j] == 0.0):
+        acc = acc - rowmul(jt_scr[j], L[i][j])
+    jt_scr[i, :, :] = rowmul(acc, invd[i])
+  for i in reversed(range(nv)):          # backward: L^T x = y
+    acc = jt_scr[i]
+    for j in range(i + 1, nv):
+      if not (_is_c(L[j][i]) and L[j][i] == 0.0):
+        acc = acc - rowmul(jt_scr[j], L[j][i])
+    jt_scr[i, :, :] = rowmul(acc, invd[i])
+
+  vf = [_add2(u[j], _mul(dt, jt_scr[j, vf_col, :])) for j in range(nv)]
+
+  nvp = wt_scr.shape[1]
+  wt_scr[:, :, :] = jnp.zeros_like(wt_scr)
+  for row in range(nw):
+    for j in range(nv):
+      wt_scr[row, j, :] = jt_scr[j, row, :]
+
+  # ---- G. hoisted GS invariants ----
+  Gii_all, ci0_all = [], []
+  for i in range(ncone):
+    g = {}
+    for a in range(3):
+      for bb in range(a, 3):
+        tot = 0.0
+        for j, val in Jrows[3 * i + a].items():
+          tot = _add2(tot, _mul(val, wt_scr[3 * i + bb, j, :]))
+        g[(a, bb)] = _asvec(tot, T, dtype)
+    Gii_all.append((g[(0, 0)], g[(0, 1)], g[(0, 2)],
+                    g[(1, 1)], g[(1, 2)], g[(2, 2)]))
+    ci0 = []
+    for a in range(3):
+      tot = _neg(bias[3 * i + a])
+      for j, val in Jrows[3 * i + a].items():
+        tot = _add2(tot, _mul(val, vf[j]))
+      ci0.append(_asvec(tot, T, dtype))
+    ci0_all.append(tuple(ci0))
+  lim_g, lim_ci0 = [], []
+  for k in range(nlim):
+    row = 3 * ncone + k
+    j = sd.limits[k].vadr
+    sval = Jrows[row][j]
+    # G_rr = J_row . W_row = s * (s * Minv_jj) = Minv_jj (W already carries s)
+    lim_g.append(_mul(sval, wt_scr[row, j, :]))
+    lim_ci0.append(_sub(_mul(sval, vf[j]), bias[row]))
+
+  # ---- H. matrix-free Gauss-Seidel cone solve (mirror pallas_contact) ----
+  ncp = sd.ncp
+  iota_nc = jax.lax.broadcasted_iota(jnp.int32, (ncp, T), 0)
+  onehots = [(iota_nc == i).astype(dtype) for i in range(ncone + nlim)]
+  keeps = [1.0 - oh for oh in onehots]
+  lam_scr[:, :, :] = jnp.zeros((3, ncp, T), dtype)
+  z_scr[:, :] = jnp.zeros_like(z_scr)
+  mu_vecs = [jnp.full((T,), m, dtype) for m in mu_stat]
+
+  def sweep_body(_, carry):
+    for i in range(ncone):
+      g = Gii_all[i]
+      oh, keep = onehots[i], keeps[i]
+      li = tuple(jnp.sum(lam_scr[a] * oh, axis=0) for a in range(3))
+      g_mat = ((g[0], g[1], g[2]), (g[1], g[3], g[4]), (g[2], g[4], g[5]))
+      ci = []
+      for a in range(3):
+        diag_a = (g_mat[a][0] * li[0] + g_mat[a][1] * li[1]
+                  + g_mat[a][2] * li[2])
+        jz = 0.0
+        for j in Jrows[3 * i + a]:
+          jz = _add2(jz, _mul(Jrows[3 * i + a][j], z_scr[j, :]))
+        ci.append(ci0_all[i][a] + jz - diag_a)
+      ln = _cone_solve_vec(g, tuple(ci), mu_vecs[i], sd.n_grid, dtype)
+      dz = jnp.zeros_like(z_scr[:, :])
+      for a in range(3):
+        la = ln[a] * act[i]
+        dz = dz + wt_scr[3 * i + a] * (la - li[a])[None, :]
+        lam_scr[a, :, :] = lam_scr[a] * keep + oh * la[None, :]
+      z_scr[:, :] = z_scr[:, :] + dz
+    for k in range(nlim):
+      i = ncone + k
+      row = 3 * ncone + k
+      oh, keep = onehots[i], keeps[i]
+      jdof = sd.limits[k].vadr
+      li2 = jnp.sum(lam_scr[2] * oh, axis=0)
+      jz = _mul(Jrows[row][jdof], z_scr[jdof, :])
+      c2 = lim_ci0[k] + jz - lim_g[k] * li2
+      ln2 = jnp.maximum(-c2 / (lim_g[k] + 1e-20), 0.0) * act[i]
+      z_scr[:, :] = z_scr[:, :] + wt_scr[row] * (ln2 - li2)[None, :]
+      lam_scr[2, :, :] = lam_scr[2] * keep + oh * ln2[None, :]
+    return carry
+
+  if ncone + nlim:
+    jax.lax.fori_loop(0, sd.sweeps, sweep_body, 0)
+
+  # ---- I. integrate (mirror dynamics.integrate_q) ----
+  u_new = [_add2(vf[j], z_scr[j, :]) for j in range(nv)]
+  qo_ref[:, :] = jnp.zeros_like(qo_ref)
+  uo_ref[:, :] = jnp.zeros_like(uo_ref)
+  for j in range(nv):
+    uo_ref[j, :] = _asvec(u_new[j], T, dtype)
+  for i in range(nb):
+    jt = sd.joint_types[i]
+    qa, va = sd.q_adr[i], sd.v_adr[i]
+    if jt == JointType.FREE:
+      quat, R = Rquat[i]
+      for k in range(3):
+        qo_ref[qa + k, :] = _asvec(
+            _add2(q[qa + k], _mul(dt, u_new[va + 3 + k])), T, dtype)
+      w_w = _mv(R, (u_new[va], u_new[va + 1], u_new[va + 2]))
+      wdt = _vscale(dt, w_w)
+      ang2 = _add(*[_mul(x, x) for x in wdt])
+      angle = jnp.sqrt(ang2 + 1e-32)
+      half = 0.5 * angle
+      sinc_half = jnp.where(ang2 > 1e-16, jnp.sin(half) / angle,
+                            0.5 - ang2 / 48.0)
+      dq = (jnp.cos(half), sinc_half * wdt[0], sinc_half * wdt[1],
+            sinc_half * wdt[2])
+      w1, x1, y1, z1 = dq
+      w2, x2, y2, z2 = quat
+      qn = (w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2)
+      norm = jax.lax.rsqrt(qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2]
+                           + qn[3] * qn[3] + 1e-12)
+      for k in range(4):
+        qo_ref[qa + 3 + k, :] = qn[k] * norm
+    else:
+      qo_ref[qa, :] = _asvec(_add2(q[qa], _mul(dt, u_new[va])), T, dtype)
+
+
+def _asvec(x, T, dtype):
+  """Materialize a scalar (python float, 0-d, or (T,) value) as (T,)."""
+  if _is_c(x):
+    return jnp.full((T,), x, dtype)
+  if x.ndim == 0:
+    return jnp.broadcast_to(x.astype(dtype), (T,))
+  return x
+
+
+# ---------------------------------------------------------------------------
+# Public wrappers
+# ---------------------------------------------------------------------------
+
+
+def build_fused_step_lane(scene, config=None, use_pd: bool = True,
+                          tile: int = 128):
+  """Build the lane-major fused step: (qT, uT, tauT, pdT) -> (qT', uT').
+
+  Arrays are (nqp, Bp) / (nvp, Bp) with Bp a multiple of `tile` — the layout
+  the kernel wants; `make_step_batch_fused` wraps it with the batch-major
+  State interface. Returns (step_lane, sd)."""
+  from raisimlib_tpu.ops import pipeline
+
+  config = config if config is not None else pipeline.StepConfig()
+  sd = _analyze(scene, config, use_pd)
+  nqp, nvp = _pad8(sd.nq), _pad8(sd.nv)
+  kernel = functools.partial(_step_kernel, sd=sd, tile=tile)
+
+  def step_lane(qT, uT, tauT, pdT):
+    Bp = qT.shape[-1]
+    assert Bp % tile == 0, (Bp, tile)
+    grid = (Bp // tile,)
+    spec = lambda nrow: pl.BlockSpec((nrow, tile), lambda t: (0, t),
+                                     memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        interpret=(jax.default_backend() == "cpu"),
+        grid=grid,
+        in_specs=[spec(nqp), spec(nvp), spec(nvp), spec(nvp)],
+        out_specs=[spec(nqp), spec(nvp)],
+        out_shape=[jax.ShapeDtypeStruct((nqp, Bp), jnp.float32),
+                   jax.ShapeDtypeStruct((nvp, Bp), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((sd.nv, sd.nrp, tile), jnp.float32),
+            # max(1, .) guards the contact-free case (cartpole): zero-size
+            # scratch blocks are not lowerable
+            pltpu.VMEM((max(sd.n_wrows, 1), nvp, tile), jnp.float32),
+            pltpu.VMEM((3, sd.ncp, tile), jnp.float32),
+            pltpu.VMEM((nvp, tile), jnp.float32),
+        ],
+    )(qT, uT, tauT, pdT)
+
+  return step_lane, sd
+
+
+def make_step_batch_fused(scene, config=None, use_pd: bool = True,
+                          tile: int = 128):
+  """Drop-in fused replacement for pipeline.step_batch on eligible scenes.
+
+  Returns step(state, tau, pd_target) -> State (pd_target ignored when
+  use_pd=False). Forward runs the megakernel; the custom VJP re-derives
+  gradients through the differentiable pure path (pipeline.step_batch), the
+  same forward/backward split as ops/pallas_contact.solve_dynamics_batch.
+  Raises FusedStepUnsupported for scenes outside the kernel's class."""
+  from raisimlib_tpu.ops import pipeline
+  from raisimlib_tpu.ops.integrator import State
+
+  config = config if config is not None else pipeline.StepConfig()
+  step_lane, sd = build_fused_step_lane(scene, config, use_pd, tile)
+  nqp, nvp = _pad8(sd.nq), _pad8(sd.nv)
+  dt = sd.dt
+
+  def to_lane(x, nrow):
+    xT = jnp.transpose(x, (1, 0))
+    B = xT.shape[1]
+    Bp = ((B + tile - 1) // tile) * tile
+    # pad lanes edge-replicated: pad worlds stay numerically benign (a zero
+    # quaternion would feed garbage into the cone solve's case analysis)
+    return jnp.pad(xT, ((0, nrow - xT.shape[0]), (0, Bp - B)), mode="edge")
+
+  def fused_raw(state, tau, pd):
+    B = state.q.shape[0]
+    qT = to_lane(state.q, nqp)
+    uT = to_lane(state.u, nvp)
+    tauT = to_lane(tau, nvp)
+    pdT = to_lane(pd, nvp) if pd is not None else jnp.zeros_like(uT)
+    qo, uo = step_lane(qT, uT, tauT, pdT)
+    return State(q=jnp.transpose(qo[:sd.nq, :B], (1, 0)),
+                 u=jnp.transpose(uo[:sd.nv, :B], (1, 0)),
+                 t=state.t + dt)
+
+  def pure_ref(state, tau, pd):
+    return pipeline.step_batch(scene, state, tau,
+                               pd if use_pd else None, config)
+
+  @jax.custom_vjp
+  def fused(state, tau, pd):
+    return fused_raw(state, tau, pd)
+
+  def fwd(state, tau, pd):
+    return fused_raw(state, tau, pd), (state, tau, pd)
+
+  def bwd(res, g):
+    state, tau, pd = res
+    _, vjp = jax.vjp(pure_ref, state, tau, pd)
+    return vjp(g)
+
+  fused.defvjp(fwd, bwd)
+
+  if use_pd:
+    return lambda state, tau, pd_target: fused(state, tau, pd_target)
+  return lambda state, tau, pd_target=None: fused(state, tau, None)

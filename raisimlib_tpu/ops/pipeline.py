@@ -288,6 +288,7 @@ def step_batch(
     pd_target: jnp.ndarray | None = None,
     config: StepConfig = StepConfig(),
     field_heights: jnp.ndarray | None = None,
+    use_kernel: bool = True,
 ) -> State:
   """Batched physics step: state/tau/pd_target carry a leading batch axis.
 
@@ -298,7 +299,13 @@ def step_batch(
   velocity directly. This is the throughput path for rollout benchmarks, MPPI
   sampling, and RL-style batched stepping; round-3 profiling showed the old
   G-assembly (73-column triangular solve + (3nc)^2 matmul + 5-D layout
-  transposes) dominating the step."""
+  transposes) dominating the step.
+
+  `use_kernel=False` swaps the Pallas megakernel for its pure-jnp oracle
+  (`pallas_contact._mf_pure`) — identical math, no custom VJP, so the whole
+  batched step supports `jax.jvp`/`jacfwd` (iLQR's per-timestep dynamics
+  Jacobians are evaluated through this path; the kernel's custom VJP only
+  provides reverse mode)."""
   from raisimlib_tpu.ops import pallas_contact
 
   model = scene.model
@@ -335,8 +342,9 @@ def step_batch(
       f"({n_con} contacts + {tabs.n_rows} constraints) vs kinds {kinds}")
   solver_cfg = config.solver.replace(row_kinds=kinds)
 
-  u_new, _lam = pallas_contact.solve_dynamics_batch(
-      Jr, Wt, vf, bias, mu, active, solver_cfg)
+  solve = (pallas_contact.solve_dynamics_batch if use_kernel
+           else pallas_contact._mf_pure)
+  u_new, _lam = solve(Jr, Wt, vf, bias, mu, active, solver_cfg)
   q_new = jax.vmap(lambda q, un: dynamics.integrate_q(model, q, un, dt))(
       state.q, u_new)
   return State(q=q_new, u=u_new, t=state.t + dt)

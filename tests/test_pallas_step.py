@@ -1,0 +1,191 @@
+"""Fused full-step Pallas megakernel (round 4, ops/pallas_step.py).
+
+CPU tests run the kernel in interpret mode, which scales badly with model
+size — so parity here uses TINY scenes (a cartpole, a sphere on the plane,
+a 2-dof arm with limits); the ANYmal-scale parity runs on real TPU hardware
+via the bench/verify drives. Together they cover: smooth dynamics (FK, RNEA,
+CRBA, implicit PD, integration), contact rows (sphere/box vs plane), joint
+limits, eligibility gating, and the custom-VJP gradient path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raisimlib_tpu.models.model import JointType
+from raisimlib_tpu.ops import pipeline
+from raisimlib_tpu.ops import pallas_step
+from raisimlib_tpu.world import World
+
+F32 = jnp.float32
+
+
+def _cartpole_world():
+  world = World(dt=0.01, dtype=F32)
+  bodies = [
+      dict(parent=-1, joint=JointType.PRISMATIC, axis=[1, 0, 0], mass=1.0,
+           com=[0, 0, 0], inertia=np.zeros((3, 3)), name="cart",
+           torque_limit=50.0),
+      dict(parent=0, joint=JointType.REVOLUTE, axis=[0, 1, 0], mass=0.2,
+           com=[0, 0, 0.3], inertia=0.2 * 0.09 * np.eye(3), name="pole",
+           actuated=False),
+  ]
+  world.add_articulated_system(bodies, name="cartpole")
+  return world.compile(joint_limits=False)
+
+
+def _sphere_world():
+  world = World(dt=0.002, dtype=F32)
+  world.add_ground()
+  world.add_sphere(0.1, 1.0, pos=(0.0, 0.0, 0.12))
+  return world.compile(joint_limits=False)
+
+
+def _batch(scene, B, seed=0, dq=0.01, du=0.05):
+  rng = np.random.RandomState(seed)
+  s0 = scene.init_state()
+  qs = np.tile(np.asarray(s0.q)[None], (B, 1)).astype(np.float32)
+  # perturb only non-quaternion coords; renormalize any quats after
+  qs += dq * rng.randn(*qs.shape).astype(np.float32)
+  from raisimlib_tpu.models.model import JointType as JT
+
+  for b in range(scene.model.nb):
+    if JT(scene.model.joint_types[b]) == JT.FREE:
+      qa = scene.model.q_adr[b]
+      qs[:, qa + 3:qa + 7] /= np.linalg.norm(
+          qs[:, qa + 3:qa + 7], axis=1, keepdims=True)
+  us = du * rng.randn(B, scene.model.nv).astype(np.float32)
+  return s0.__class__(q=jnp.asarray(qs), u=jnp.asarray(us),
+                      t=jnp.zeros((B,), F32))
+
+
+class TestParity:
+  def test_cartpole_smooth_parity(self):
+    scene = _cartpole_world().set_pd_gains(10.0, 0.5)
+    fused = pallas_step.make_step_batch_fused(scene)
+    B = 4
+    s = _batch(scene, B, dq=0.3, du=0.3)
+    tau = jnp.zeros((B, 2), F32)
+    pd = jnp.asarray(0.2 * np.random.RandomState(1).randn(B, 2), F32)
+    sA = jax.jit(lambda s: pipeline.step_batch(scene, s, tau, pd))(s)
+    sB = jax.jit(lambda s: fused(s, tau, pd))(s)
+    np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u), atol=2e-4)
+
+  def test_sphere_contact_parity_rollout(self):
+    scene = _sphere_world()
+    fused = pallas_step.make_step_batch_fused(scene, use_pd=False)
+    B = 4
+    s = _batch(scene, B, dq=0.005, du=0.2)
+    tau = jnp.zeros((B, 6), F32)
+
+    def roll(stepfn, s):
+      def body(s, _):
+        return stepfn(s), None
+      return jax.lax.scan(body, s, None, length=30)[0]
+
+    sA = jax.jit(lambda s: roll(
+        lambda x: pipeline.step_batch(scene, x, tau, None), s))(s)
+    sB = jax.jit(lambda s: roll(lambda x: fused(x, tau), s))(s)
+    # 30 contact steps: bouncing/sticking trajectories must track closely
+    np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u), atol=5e-3)
+    # physical: spheres rest on the plane at z ~= r
+    assert np.all(np.asarray(sB.q)[:, 2] > 0.09)
+
+  def test_limit_rows_parity(self):
+    world = World(dt=0.005, dtype=F32)
+    bodies = [
+        dict(parent=-1, joint=JointType.REVOLUTE, axis=[0, 1, 0], mass=1.0,
+             com=[0, 0, 0.2], inertia=0.04 * np.eye(3), name="link1",
+             q_lo=-0.5, q_hi=0.5, torque_limit=20.0),
+        dict(parent=0, joint=JointType.REVOLUTE, axis=[0, 1, 0], mass=0.5,
+             com=[0, 0, 0.2], inertia=0.02 * np.eye(3), pos=[0, 0, 0.4],
+             name="link2", q_lo=-0.3, q_hi=0.3, torque_limit=20.0),
+    ]
+    world.add_articulated_system(bodies, name="arm")
+    scene = world.compile(joint_limits=True)
+    assert scene.constraints.n_rows == 2
+    fused = pallas_step.make_step_batch_fused(scene, use_pd=False)
+    B = 4
+    s = _batch(scene, B, dq=0.2, du=1.0)    # inside the limits, moving fast
+    # constant torques driving every joint OUT toward its limits
+    tau = jnp.asarray(np.array([[5.0, 3.0], [-5.0, 3.0],
+                                [5.0, -3.0], [-5.0, -3.0]]), F32)
+
+    def roll(stepfn, s):
+      def body(s, _):
+        return stepfn(s), None
+      return jax.lax.scan(body, s, None, length=60)[0]
+
+    sA = jax.jit(lambda s: roll(
+        lambda x: pipeline.step_batch(scene, x, tau, None), s))(s)
+    sB = jax.jit(lambda s: roll(lambda x: fused(x, tau), s))(s)
+    np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=2e-3)
+    # limits enforced (one-step lookahead allows tiny transient overshoot)
+    assert np.all(np.abs(np.asarray(sB.q)[:, 0]) < 0.55), sB.q
+    assert np.all(np.abs(np.asarray(sB.q)[:, 1]) < 0.35), sB.q
+
+
+class TestEligibility:
+  def test_anymal_scene_is_eligible(self):
+    from raisimlib_tpu.models import anymal
+    from raisimlib_tpu.models.urdf import load_urdf
+
+    bodies, geoms, _ = load_urdf(anymal.anymal_urdf())
+    world = World(dt=0.0025, dtype=F32)
+    world.add_articulated_system(bodies, name="anymal", geoms=geoms)
+    world.add_ground()
+    scene = world.compile().set_pd_gains(100.0, 2.0)
+    sd = pallas_step._analyze(scene, pipeline.StepConfig(), use_pd=True)
+    assert len(sd.slots) == 12           # 8 base-box corners + 4 feet
+    assert len(sd.limits) == 12
+
+  def test_heightmap_scene_falls_back(self):
+    from raisimlib_tpu.utils import terrain
+
+    world = World(dt=0.002, dtype=F32)
+    world.add_heightmap(terrain.flat(0.0))
+    world.add_sphere(0.1, 1.0, pos=(0, 0, 0.5))
+    scene = world.compile(joint_limits=False)
+    with pytest.raises(pallas_step.FusedStepUnsupported):
+      pallas_step.make_step_batch_fused(scene, use_pd=False)
+
+  def test_dyn_builder_auto_fallback(self):
+    # make_contact_dyn_batch(fused="auto") on an ineligible scene still works
+    from raisimlib_tpu.mpc.state_map import make_contact_dyn_batch
+    from raisimlib_tpu.utils import terrain
+
+    world = World(dt=0.005, dtype=F32)
+    world.add_heightmap(terrain.flat(0.0))
+    world.add_sphere(0.1, 1.0, pos=(0, 0, 0.3))
+    scene = world.compile(joint_limits=False)
+    dyn_b, nx, nu = make_contact_dyn_batch(scene, control_dt=0.005,
+                                           substeps=1, use_pd=False)
+    x = jnp.zeros((2, nx), F32).at[:, 2].set(0.3).at[:, 3].set(1.0)
+    out = jax.jit(dyn_b)(x, jnp.zeros((2, max(nu, 1)))[:, :nu],
+                         jnp.asarray(0))
+    assert out.shape == (2, nx) and np.isfinite(np.asarray(out)).all()
+
+
+class TestGradients:
+  def test_custom_vjp_matches_pure_gradient(self):
+    scene = _sphere_world()
+    fused = pallas_step.make_step_batch_fused(scene, use_pd=False)
+    B = 2
+    s = _batch(scene, B, dq=0.004, du=0.1)
+    tau = jnp.zeros((B, 6), F32)
+
+    def loss_fused(u0):
+      out = fused(s.replace(u=u0), tau)
+      return jnp.sum(out.q[:, 2] ** 2)
+
+    def loss_pure(u0):
+      out = pipeline.step_batch(scene, s.replace(u=u0), tau, None)
+      return jnp.sum(out.q[:, 2] ** 2)
+
+    gF = jax.jit(jax.grad(loss_fused))(s.u)
+    gP = jax.jit(jax.grad(loss_pure))(s.u)
+    np.testing.assert_allclose(np.asarray(gF), np.asarray(gP),
+                               rtol=2e-3, atol=1e-5)
