@@ -94,7 +94,12 @@ def make_contact_dyn_batch(scene, control_dt: float, substeps: int,
   )
 
   fused_step = None
-  if use_kernel and fused != "never":
+  # "auto" only engages on an accelerator: on CPU the fused kernel runs in
+  # pallas interpret mode, which is minutes-per-step at robot scale (fine for
+  # the tiny-model unit tests that exercise it explicitly, fatal for example
+  # smoke runs and the virtual-device dryrun). "require" overrides.
+  if use_kernel and (fused == "require" or
+                     (fused == "auto" and jax.default_backend() != "cpu")):
     from raisimlib_tpu.ops import pallas_step
 
     try:
