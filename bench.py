@@ -80,14 +80,17 @@ def _host_key(seed: int, n: int | None = None):
     return np.asarray(k)
 
 
-def bench_anymal_rollouts(B=4096, H=50, dtype=jnp.float32):
-  """Batched contact-implicit rollouts/s: B ANYmal worlds x H fused steps."""
+def bench_anymal_rollouts(B=16384, H=50, pack=8, dtype=jnp.float32):
+  """Batched contact-implicit rollouts/s: B ANYmal worlds x H fused steps.
+
+  pack=8 sublane-packs 8 worlds per VPU register (bitwise-identical results,
+  measured 2.5x; see step_profile_r04.md "sublane packing")."""
   from raisimlib_tpu.ops import pallas_step
   from raisimlib_tpu.ops.integrator import State
 
   _note("rollouts: building scene")
   scene, q0 = _balance_scene(dtype)
-  fused = pallas_step.make_step_batch_fused(scene)
+  fused = pallas_step.make_step_batch_fused(scene, pack=pack)
   base_q = np.tile(q0[None], (B, 1)).astype(np.float32)
   pd = np.zeros((B, 18), np.float32)
   pd[:, 6:] = q0[7:][None]
@@ -156,8 +159,10 @@ def bench_anymal_mpc(n_env=16, H=50, K=128, updates=4, dtype=jnp.float32):
 
   _note("mpc: building scene")
   scene, q0 = _balance_scene(dtype)
+  # n_env*K = 2048 sample rollouts per update: a multiple of pack*tile=1024,
+  # so the fused kernel runs fully sublane-packed
   dyn_b, nx, nu = make_contact_dyn_batch(scene, control_dt=0.01, substeps=4,
-                                         use_pd=True)
+                                         use_pd=True, pack=8)
   rc, fc, q_stand = _balance_cost(scene, q0, dtype)
 
   with jax.default_device(jax.devices("cpu")[0]):

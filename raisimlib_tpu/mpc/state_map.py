@@ -55,7 +55,7 @@ def make_contact_dyn(scene, control_dt: float, substeps: int, use_pd: bool = Tru
 
 def make_contact_dyn_batch(scene, control_dt: float, substeps: int,
                            use_pd: bool = True, use_kernel: bool = True,
-                           fused: str = "auto"):
+                           fused: str = "auto", pack: int = 1):
   """Batched `dyn_b(X, A, t) -> X_next` for X (B, nx), A (B, nu).
 
   Same math as `vmap(make_contact_dyn(...)[0])`, but the physics runs through
@@ -103,7 +103,10 @@ def make_contact_dyn_batch(scene, control_dt: float, substeps: int,
     from raisimlib_tpu.ops import pallas_step
 
     try:
-      fused_step = pallas_step.make_step_batch_fused(scene, use_pd=use_pd)
+      # pack=8 sublane-packs worlds for large batches (B pads to pack*128);
+      # see ops/pallas_step.build_fused_step_lane
+      fused_step = pallas_step.make_step_batch_fused(scene, use_pd=use_pd,
+                                                     pack=pack)
     except pallas_step.FusedStepUnsupported:
       if fused == "require":
         raise

@@ -70,16 +70,18 @@ def _stick_vec(g, c):
 
 
 def _cone_solve_vec(g, c, mu, n_grid, dtype):
-  """Vectorized exact cone solve on (T,) lane vectors.
+  """Vectorized exact cone solve on lane-vector "scalars".
 
-  g: dict of the 6 unique Gii components g00,g01,g02,g11,g12,g22 — each (T,);
-  c: (c0, c1, c2) each (T,); mu: (T,). Returns (lam0, lam1, lam2) each (T,).
-  Same case analysis as ops/contact.py `cone_solve`, every scalar a lane vector.
+  g: the 6 unique Gii components g00,g01,g02,g11,g12,g22; c: (c0, c1, c2);
+  mu — all sharing one trailing shape S, which may be (T,) lane vectors or
+  (P, T) sublane-packed tiles (ops/pallas_step's pack > 1 path). Returns
+  (lam0, lam1, lam2) each of shape S. Same case analysis as ops/contact.py
+  `cone_solve`, every scalar a vector register.
   """
   big = jnp.asarray(3e38, dtype)
   g00, g01, g02, g11, g12, g22 = g
   c0, c1, c2 = c
-  T = c0.shape[-1]
+  S = c0.shape
 
   # --- stick: lam = -Gii^{-1} c (cofactor inverse) ---
   ls0, ls1, ls2 = _stick_vec(g, c)
@@ -108,13 +110,13 @@ def _cone_solve_vec(g, c, mu, n_grid, dtype):
     return jnp.where(feas, E, big), s, d0, d1
 
   def select_min(E, theta):
-    """(K,T) -> argmin-selected theta + rolled neighbors, gather-free.
+    """(K,)+S -> argmin-selected theta + rolled neighbors, gather-free.
     argmin via min + first-match one-hot (min-reductions only — Mosaic-safe)."""
     K = E.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.int32, E.shape, 0)
     Emin = jnp.min(E, axis=0)
     score = jnp.where(E == Emin[None, :], iota, K)
-    kmin = jnp.min(score, axis=0)                                  # (T,)
+    kmin = jnp.min(score, axis=0)                                  # S
     onehot = (iota == kmin[None, :]).astype(dtype)
     th0 = jnp.sum(onehot * theta, axis=0)
     E0 = jnp.sum(onehot * E, axis=0)
@@ -125,14 +127,14 @@ def _cone_solve_vec(g, c, mu, n_grid, dtype):
   # constants built in-kernel from iota (captured jnp constants are not allowed;
   # tpu.iota is integer-only, so cast after)
   dtheta = 2.0 * np.pi / n_grid
-  thetas = (jax.lax.broadcasted_iota(jnp.int32, (n_grid, T), 0).astype(dtype)
+  thetas = (jax.lax.broadcasted_iota(jnp.int32, (n_grid,) + S, 0).astype(dtype)
             * dtheta)
   E_grid, _, _, _ = curve(thetas)
   theta_b, _, _, _ = select_min(E_grid, thetas)
 
   # two shrinking 5-point refinement rounds + parabolic fit (all parallel)
-  offs = (jax.lax.broadcasted_iota(jnp.int32, (5, 1), 0).astype(dtype)
-          * 0.5 - 1.0)
+  offs = (jax.lax.broadcasted_iota(jnp.int32, (5,) + (1,) * len(S), 0)
+          .astype(dtype) * 0.5 - 1.0)
   span = 0.5 * dtheta
   for _ in range(2):
     th5 = theta_b[None, :] + offs * span

@@ -607,25 +607,31 @@ def _emit_chol(nv: int, M):
 
 
 def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
-                 jt_scr, wt_scr, lam_scr, z_scr, *, sd: _StaticData, tile: int):
-  """One batch tile: the full physics step in VMEM (see module docstring)."""
-  T = tile
+                 jt_scr, wt_scr, lam_scr, z_scr, *, sd: _StaticData,
+                 tile: int, pack: int):
+  """One batch tile: the full physics step in VMEM (see module docstring).
+
+  `pack` > 1 puts `pack` worlds on the SUBLANE axis of every per-world
+  "scalar" — shape (pack, tile) instead of (tile,) — so each VPU
+  instruction processes pack*tile worlds instead of tile. The kernel body
+  is shape-generic; only S below changes."""
+  S = (pack, tile) if pack > 1 else (tile,)
   dtype = jnp.float32
   nv, nq, nb = sd.nv, sd.nq, sd.nb
   dt = sd.dt
 
-  q = [q_ref[i, :] for i in range(nq)]
-  u = [u_ref[i, :] for i in range(nv)]
+  q = [q_ref[i] for i in range(nq)]
+  u = [u_ref[i] for i in range(nv)]
 
   # ---- A. actuation: feedforward + implicit PD, clamp (mirror _assemble_rows)
   tau = [0.0] * nv
   D_diag = [0.0] * nv
   for j in range(nv):
-    t = _mul(sd.actuated[j], tau_ref[j, :])
+    t = _mul(sd.actuated[j], tau_ref[j])
     if sd.use_pd:
       if sd.actuated[j] != 0.0 and sd.jmask[j] != 0.0:
         t = _add2(t, _mul(sd.kp[j] * sd.actuated[j],
-                          _sub(pd_ref[j, :], q[sd.jidx[j]])))
+                          _sub(pd_ref[j], q[sd.jidx[j]])))
       D_diag[j] = sd.kd[j] * sd.actuated[j]
     tl = sd.torque_limit[j]
     if not _is_c(t):
@@ -692,40 +698,39 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
   nw, nrp = sd.n_wrows, sd.nrp
   vf_col = nw
 
-  jt_scr[:, :, :] = jnp.zeros((nv, nrp, T), dtype)
+  jt_scr[...] = jnp.zeros_like(jt_scr)
   for row in range(nw):
     for j, val in Jrows[row].items():
-      jt_scr[j, row, :] = _asvec(val, T, dtype)
+      jt_scr[j, row] = _asvec(val, S, dtype)
   for j in range(nv):
-    jt_scr[j, vf_col, :] = _asvec(rhs0[j], T, dtype)
+    jt_scr[j, vf_col] = _asvec(rhs0[j], S, dtype)
 
   def rowmul(x, s):
     # (n, T) * per-lane scalar; s may be (T,), 0-d (all-static model entries
     # collapse to traced scalars), or a python float
     if _is_c(s) or getattr(s, "ndim", 1) == 0:
       return x * s
-    return x * s[None, :]
+    return x * s[None]
 
   for i in range(nv):                    # forward: L y = rhs
     acc = jt_scr[i]
     for j in range(i):
       if not (_is_c(L[i][j]) and L[i][j] == 0.0):
         acc = acc - rowmul(jt_scr[j], L[i][j])
-    jt_scr[i, :, :] = rowmul(acc, invd[i])
+    jt_scr[i] = rowmul(acc, invd[i])
   for i in reversed(range(nv)):          # backward: L^T x = y
     acc = jt_scr[i]
     for j in range(i + 1, nv):
       if not (_is_c(L[j][i]) and L[j][i] == 0.0):
         acc = acc - rowmul(jt_scr[j], L[j][i])
-    jt_scr[i, :, :] = rowmul(acc, invd[i])
+    jt_scr[i] = rowmul(acc, invd[i])
 
-  vf = [_add2(u[j], _mul(dt, jt_scr[j, vf_col, :])) for j in range(nv)]
+  vf = [_add2(u[j], _mul(dt, jt_scr[j, vf_col])) for j in range(nv)]
 
-  nvp = wt_scr.shape[1]
-  wt_scr[:, :, :] = jnp.zeros_like(wt_scr)
+  wt_scr[...] = jnp.zeros_like(wt_scr)
   for row in range(nw):
     for j in range(nv):
-      wt_scr[row, j, :] = jt_scr[j, row, :]
+      wt_scr[row, j] = jt_scr[j, row]
 
   # ---- G. hoisted GS invariants ----
   Gii_all, ci0_all = [], []
@@ -735,8 +740,8 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
       for bb in range(a, 3):
         tot = 0.0
         for j, val in Jrows[3 * i + a].items():
-          tot = _add2(tot, _mul(val, wt_scr[3 * i + bb, j, :]))
-        g[(a, bb)] = _asvec(tot, T, dtype)
+          tot = _add2(tot, _mul(val, wt_scr[3 * i + bb, j]))
+        g[(a, bb)] = _asvec(tot, S, dtype)
     Gii_all.append((g[(0, 0)], g[(0, 1)], g[(0, 2)],
                     g[(1, 1)], g[(1, 2)], g[(2, 2)]))
     ci0 = []
@@ -744,7 +749,7 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
       tot = _neg(bias[3 * i + a])
       for j, val in Jrows[3 * i + a].items():
         tot = _add2(tot, _mul(val, vf[j]))
-      ci0.append(_asvec(tot, T, dtype))
+      ci0.append(_asvec(tot, S, dtype))
     ci0_all.append(tuple(ci0))
   lim_g, lim_ci0 = [], []
   for k in range(nlim):
@@ -752,17 +757,17 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
     j = sd.limits[k].vadr
     sval = Jrows[row][j]
     # G_rr = J_row . W_row = s * (s * Minv_jj) = Minv_jj (W already carries s)
-    lim_g.append(_mul(sval, wt_scr[row, j, :]))
+    lim_g.append(_mul(sval, wt_scr[row, j]))
     lim_ci0.append(_sub(_mul(sval, vf[j]), bias[row]))
 
   # ---- H. matrix-free Gauss-Seidel cone solve (mirror pallas_contact) ----
   ncp = sd.ncp
-  iota_nc = jax.lax.broadcasted_iota(jnp.int32, (ncp, T), 0)
+  iota_nc = jax.lax.broadcasted_iota(jnp.int32, (ncp,) + S, 0)
   onehots = [(iota_nc == i).astype(dtype) for i in range(ncone + nlim)]
   keeps = [1.0 - oh for oh in onehots]
-  lam_scr[:, :, :] = jnp.zeros((3, ncp, T), dtype)
-  z_scr[:, :] = jnp.zeros_like(z_scr)
-  mu_vecs = [jnp.full((T,), m, dtype) for m in mu_stat]
+  lam_scr[...] = jnp.zeros_like(lam_scr)
+  z_scr[...] = jnp.zeros_like(z_scr)
+  mu_vecs = [jnp.full(S, m, dtype) for m in mu_stat]
 
   def sweep_body(_, carry):
     for i in range(ncone):
@@ -776,45 +781,45 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
                   + g_mat[a][2] * li[2])
         jz = 0.0
         for j in Jrows[3 * i + a]:
-          jz = _add2(jz, _mul(Jrows[3 * i + a][j], z_scr[j, :]))
+          jz = _add2(jz, _mul(Jrows[3 * i + a][j], z_scr[j]))
         ci.append(ci0_all[i][a] + jz - diag_a)
       ln = _cone_solve_vec(g, tuple(ci), mu_vecs[i], sd.n_grid, dtype)
-      dz = jnp.zeros_like(z_scr[:, :])
+      dz = jnp.zeros_like(z_scr[...])
       for a in range(3):
         la = ln[a] * act[i]
-        dz = dz + wt_scr[3 * i + a] * (la - li[a])[None, :]
-        lam_scr[a, :, :] = lam_scr[a] * keep + oh * la[None, :]
-      z_scr[:, :] = z_scr[:, :] + dz
+        dz = dz + wt_scr[3 * i + a] * (la - li[a])[None]
+        lam_scr[a] = lam_scr[a] * keep + oh * la[None]
+      z_scr[...] = z_scr[...] + dz
     for k in range(nlim):
       i = ncone + k
       row = 3 * ncone + k
       oh, keep = onehots[i], keeps[i]
       jdof = sd.limits[k].vadr
       li2 = jnp.sum(lam_scr[2] * oh, axis=0)
-      jz = _mul(Jrows[row][jdof], z_scr[jdof, :])
+      jz = _mul(Jrows[row][jdof], z_scr[jdof])
       c2 = lim_ci0[k] + jz - lim_g[k] * li2
       ln2 = jnp.maximum(-c2 / (lim_g[k] + 1e-20), 0.0) * act[i]
-      z_scr[:, :] = z_scr[:, :] + wt_scr[row] * (ln2 - li2)[None, :]
-      lam_scr[2, :, :] = lam_scr[2] * keep + oh * ln2[None, :]
+      z_scr[...] = z_scr[...] + wt_scr[row] * (ln2 - li2)[None]
+      lam_scr[2] = lam_scr[2] * keep + oh * ln2[None]
     return carry
 
   if ncone + nlim:
     jax.lax.fori_loop(0, sd.sweeps, sweep_body, 0)
 
   # ---- I. integrate (mirror dynamics.integrate_q) ----
-  u_new = [_add2(vf[j], z_scr[j, :]) for j in range(nv)]
-  qo_ref[:, :] = jnp.zeros_like(qo_ref)
-  uo_ref[:, :] = jnp.zeros_like(uo_ref)
+  u_new = [_add2(vf[j], z_scr[j]) for j in range(nv)]
+  qo_ref[...] = jnp.zeros_like(qo_ref)
+  uo_ref[...] = jnp.zeros_like(uo_ref)
   for j in range(nv):
-    uo_ref[j, :] = _asvec(u_new[j], T, dtype)
+    uo_ref[j] = _asvec(u_new[j], S, dtype)
   for i in range(nb):
     jt = sd.joint_types[i]
     qa, va = sd.q_adr[i], sd.v_adr[i]
     if jt == JointType.FREE:
       quat, R = Rquat[i]
       for k in range(3):
-        qo_ref[qa + k, :] = _asvec(
-            _add2(q[qa + k], _mul(dt, u_new[va + 3 + k])), T, dtype)
+        qo_ref[qa + k] = _asvec(
+            _add2(q[qa + k], _mul(dt, u_new[va + 3 + k])), S, dtype)
       w_w = _mv(R, (u_new[va], u_new[va + 1], u_new[va + 2]))
       wdt = _vscale(dt, w_w)
       ang2 = _add(*[_mul(x, x) for x in wdt])
@@ -833,17 +838,17 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
       norm = jax.lax.rsqrt(qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2]
                            + qn[3] * qn[3] + 1e-12)
       for k in range(4):
-        qo_ref[qa + 3 + k, :] = qn[k] * norm
+        qo_ref[qa + 3 + k] = _asvec(qn[k] * norm, S, dtype)
     else:
-      qo_ref[qa, :] = _asvec(_add2(q[qa], _mul(dt, u_new[va])), T, dtype)
+      qo_ref[qa] = _asvec(_add2(q[qa], _mul(dt, u_new[va])), S, dtype)
 
 
-def _asvec(x, T, dtype):
-  """Materialize a scalar (python float, 0-d, or (T,) value) as (T,)."""
+def _asvec(x, S, dtype):
+  """Materialize a scalar (python float, 0-d, or S-shaped value) as shape S."""
   if _is_c(x):
-    return jnp.full((T,), x, dtype)
-  if x.ndim == 0:
-    return jnp.broadcast_to(x.astype(dtype), (T,))
+    return jnp.full(S, x, dtype)
+  if x.ndim < len(S):
+    return jnp.broadcast_to(x.astype(dtype), S)
   return x
 
 
@@ -853,24 +858,38 @@ def _asvec(x, T, dtype):
 
 
 def build_fused_step_lane(scene, config=None, use_pd: bool = True,
-                          tile: int = 128):
+                          tile: int = 128, pack: int = 1):
   """Build the lane-major fused step: (qT, uT, tauT, pdT) -> (qT', uT').
 
-  Arrays are (nqp, Bp) / (nvp, Bp) with Bp a multiple of `tile` — the layout
-  the kernel wants; `make_step_batch_fused` wraps it with the batch-major
-  State interface. Returns (step_lane, sd)."""
+  Arrays are (nqp,)+S+... with S = (tile,) for pack=1 or (pack, tile) for
+  pack>1, batch laid out as (rows, [pack,] lanes) with Bp a multiple of
+  pack*tile; `make_step_batch_fused` wraps it with the batch-major State
+  interface. Returns (step_lane, sd).
+
+  `pack` puts `pack` worlds on the SUBLANE axis of every per-world scalar:
+  a (T,) value occupies 1/8 of an (8,128) VPU register, so pack=8 makes
+  each emitted instruction process 8x the worlds for the same issue slots —
+  measured as the dominant throughput lever once the step became VPU
+  issue-bound (metrics/step_profile_r04.md). Costs pack x the VMEM scratch
+  (~1.2 MB -> ~10 MB for the ANYmal scene at pack=8) and forces the batch
+  to pad to pack*tile."""
   from raisimlib_tpu.ops import pipeline
 
+  assert pack in (1, 2, 4, 8), pack
   config = config if config is not None else pipeline.StepConfig()
   sd = _analyze(scene, config, use_pd)
   nqp, nvp = _pad8(sd.nq), _pad8(sd.nv)
-  kernel = functools.partial(_step_kernel, sd=sd, tile=tile)
+  kernel = functools.partial(_step_kernel, sd=sd, tile=tile, pack=pack)
+  S = (pack, tile) if pack > 1 else (tile,)
+  zeros = (0,) * len(S)
 
   def step_lane(qT, uT, tauT, pdT):
-    Bp = qT.shape[-1]
-    assert Bp % tile == 0, (Bp, tile)
-    grid = (Bp // tile,)
-    spec = lambda nrow: pl.BlockSpec((nrow, tile), lambda t: (0, t),
+    # qT etc: (nrows,) + (pack, L) or (L,) with L a multiple of tile
+    L = qT.shape[-1]
+    assert L % tile == 0, (L, tile)
+    grid = (L // tile,)
+    idx = lambda t: (0,) + zeros[:-1] + (t,)
+    spec = lambda nrow: pl.BlockSpec((nrow,) + S, idx,
                                      memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
@@ -878,15 +897,15 @@ def build_fused_step_lane(scene, config=None, use_pd: bool = True,
         grid=grid,
         in_specs=[spec(nqp), spec(nvp), spec(nvp), spec(nvp)],
         out_specs=[spec(nqp), spec(nvp)],
-        out_shape=[jax.ShapeDtypeStruct((nqp, Bp), jnp.float32),
-                   jax.ShapeDtypeStruct((nvp, Bp), jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((nqp,) + S[:-1] + (L,), jnp.float32),
+                   jax.ShapeDtypeStruct((nvp,) + S[:-1] + (L,), jnp.float32)],
         scratch_shapes=[
-            pltpu.VMEM((sd.nv, sd.nrp, tile), jnp.float32),
+            pltpu.VMEM((sd.nv, sd.nrp) + S, jnp.float32),
             # max(1, .) guards the contact-free case (cartpole): zero-size
             # scratch blocks are not lowerable
-            pltpu.VMEM((max(sd.n_wrows, 1), nvp, tile), jnp.float32),
-            pltpu.VMEM((3, sd.ncp, tile), jnp.float32),
-            pltpu.VMEM((nvp, tile), jnp.float32),
+            pltpu.VMEM((max(sd.n_wrows, 1), nvp) + S, jnp.float32),
+            pltpu.VMEM((3, sd.ncp) + S, jnp.float32),
+            pltpu.VMEM((nvp,) + S, jnp.float32),
         ],
     )(qT, uT, tauT, pdT)
 
@@ -894,29 +913,40 @@ def build_fused_step_lane(scene, config=None, use_pd: bool = True,
 
 
 def make_step_batch_fused(scene, config=None, use_pd: bool = True,
-                          tile: int = 128):
+                          tile: int = 128, pack: int = 1):
   """Drop-in fused replacement for pipeline.step_batch on eligible scenes.
 
   Returns step(state, tau, pd_target) -> State (pd_target ignored when
   use_pd=False). Forward runs the megakernel; the custom VJP re-derives
   gradients through the differentiable pure path (pipeline.step_batch), the
   same forward/backward split as ops/pallas_contact.solve_dynamics_batch.
-  Raises FusedStepUnsupported for scenes outside the kernel's class."""
+  Raises FusedStepUnsupported for scenes outside the kernel's class.
+  `pack` sublane-packs worlds (see build_fused_step_lane) — use 8 for
+  large-batch throughput, 1 for small batches (B pads to pack*tile)."""
   from raisimlib_tpu.ops import pipeline
   from raisimlib_tpu.ops.integrator import State
 
   config = config if config is not None else pipeline.StepConfig()
-  step_lane, sd = build_fused_step_lane(scene, config, use_pd, tile)
+  step_lane, sd = build_fused_step_lane(scene, config, use_pd, tile, pack)
   nqp, nvp = _pad8(sd.nq), _pad8(sd.nv)
   dt = sd.dt
+  chunk = pack * tile
 
   def to_lane(x, nrow):
     xT = jnp.transpose(x, (1, 0))
     B = xT.shape[1]
-    Bp = ((B + tile - 1) // tile) * tile
+    Bp = ((B + chunk - 1) // chunk) * chunk
     # pad lanes edge-replicated: pad worlds stay numerically benign (a zero
     # quaternion would feed garbage into the cone solve's case analysis)
-    return jnp.pad(xT, ((0, nrow - xT.shape[0]), (0, Bp - B)), mode="edge")
+    xT = jnp.pad(xT, ((0, nrow - xT.shape[0]), (0, Bp - B)), mode="edge")
+    if pack > 1:
+      xT = xT.reshape(nrow, pack, Bp // pack)
+    return xT
+
+  def from_lane(xo, nrows, B):
+    if pack > 1:
+      xo = xo.reshape(xo.shape[0], -1)
+    return jnp.transpose(xo[:nrows, :B], (1, 0))
 
   def fused_raw(state, tau, pd):
     B = state.q.shape[0]
@@ -925,8 +955,8 @@ def make_step_batch_fused(scene, config=None, use_pd: bool = True,
     tauT = to_lane(tau, nvp)
     pdT = to_lane(pd, nvp) if pd is not None else jnp.zeros_like(uT)
     qo, uo = step_lane(qT, uT, tauT, pdT)
-    return State(q=jnp.transpose(qo[:sd.nq, :B], (1, 0)),
-                 u=jnp.transpose(uo[:sd.nv, :B], (1, 0)),
+    return State(q=from_lane(qo, sd.nq, B),
+                 u=from_lane(uo, sd.nv, B),
                  t=state.t + dt)
 
   def pure_ref(state, tau, pd):
