@@ -189,3 +189,24 @@ class TestGradients:
     gP = jax.jit(jax.grad(loss_pure))(s.u)
     np.testing.assert_allclose(np.asarray(gF), np.asarray(gP),
                                rtol=2e-3, atol=1e-5)
+
+
+class TestSublanePacking:
+  """pack > 1 lays several worlds on the sublane axis of every per-world
+  scalar (8x VPU occupancy on hardware; measured bitwise-identical there).
+  Lock the pack path's shape handling + parity in CI via interpret mode."""
+
+  def test_pack_matches_unpacked(self):
+    scene = _sphere_world()
+    B = 4
+    s = _batch(scene, B, dq=0.005, du=0.2)
+    tau = jnp.zeros((B, 6), F32)
+    # tiny tile keeps interpret-mode cost trivial; hardware uses tile=128
+    f1 = pallas_step.make_step_batch_fused(scene, use_pd=False, tile=8,
+                                           pack=1)
+    f4 = pallas_step.make_step_batch_fused(scene, use_pd=False, tile=8,
+                                           pack=4)
+    o1 = jax.jit(lambda s: f1(s, tau))(s)
+    o4 = jax.jit(lambda s: f4(s, tau))(s)
+    np.testing.assert_array_equal(np.asarray(o1.q), np.asarray(o4.q))
+    np.testing.assert_array_equal(np.asarray(o1.u), np.asarray(o4.u))
