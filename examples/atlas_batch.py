@@ -52,9 +52,26 @@ def run(smoke: bool = False, scaling: bool = False,
   pd = jnp.broadcast_to(pd1, (B, nv))
   tau = jnp.zeros((B, nv), dtype)
 
+  # Atlas is in the fused megakernel's scene class (box feet vs plane +
+  # revolute joints + limits). pack=1: at Atlas scale (nv=29, 55 solver
+  # rows) sublane packing measured SLOWER (6.8k vs 9.2k rollouts/s at
+  # pack=2 vs 1 — the ~8 MB packed scratch costs more than the VPU
+  # occupancy wins). CPU smoke runs keep the phase-split path (the fused
+  # kernel interprets far too slowly at robot scale).
+  step = None
+  if jax.default_backend() != "cpu":
+    from raisimlib_tpu.ops import pallas_step
+
+    try:
+      step = pallas_step.make_step_batch_fused(scene)
+    except pallas_step.FusedStepUnsupported:
+      step = None
+
   @jax.jit
   def rollout(states):
     def body(s, _):
+      if step is not None:
+        return step(s, tau, pd), None
       return scene.step_batch(s, tau, pd), None
 
     out, _ = jax.lax.scan(body, states, None, length=H)

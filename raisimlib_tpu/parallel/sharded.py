@@ -36,19 +36,40 @@ def make_sharded_rollout(
     mesh: Mesh,
     use_pd: bool = False,
     batched_solver: bool = True,
+    fused: str = "auto",
+    pack: int = 1,
 ) -> Callable:
   """rollout(states, taus) -> (final_states, q_trace) sharded over the mesh.
 
   `states`: State pytree with leading global batch axis B (divisible by mesh size);
   `taus`: (B, horizon, nv) torque (or PD-target) sequences — the horizon is taken
-  from taus.shape[1]. Per shard the physics runs through `Scene.step_batch` (the
-  fused Pallas contact path) under `lax.scan` over time — the raisimGym-loop
+  from taus.shape[1]. Per shard the physics runs through the round-4 FUSED
+  full-step megakernel when the scene is eligible and an accelerator backend
+  is active (`fused="auto"`; "never" disables, "require" raises on
+  ineligible scenes; `pack` sublane-packs worlds for large per-shard
+  batches), else through `Scene.step_batch` (the phase-split Pallas contact
+  path) — in both cases under `lax.scan` over time, the raisimGym-loop
   replacement of SURVEY.md §3.3.
   """
+  fused_step = None
+  if batched_solver and (fused == "require" or
+                         (fused == "auto" and
+                          jax.default_backend() != "cpu")):
+    from raisimlib_tpu.ops import pallas_step
+
+    try:
+      fused_step = pallas_step.make_step_batch_fused(scene, use_pd=use_pd,
+                                                     pack=pack)
+    except pallas_step.FusedStepUnsupported:
+      if fused == "require":
+        raise
 
   def rollout_shard(state: State, taus: jnp.ndarray):
     def body(s, tau_t):
-      if batched_solver:
+      if fused_step is not None:
+        s2 = (fused_step(s, jnp.zeros_like(tau_t), tau_t) if use_pd
+              else fused_step(s, tau_t, None))
+      elif batched_solver:
         if use_pd:
           s2 = scene.step_batch(s, pd_target=tau_t)
         else:
