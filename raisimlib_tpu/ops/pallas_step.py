@@ -283,12 +283,30 @@ def _rodrigues(axis, c, s):
 
 
 class _Slot(NamedTuple):
-  """One contact slot: geom A (on `body`) vs the static plane z = h."""
+  """One contact slot. kind selects the in-kernel narrow phase:
 
-  body: int
-  local: tuple          # contact feature point in body frame (static)
-  radius: float         # sphere radius (0.0 for box corners)
+    "plane_pt": feature point (body_a frame, static `local`) + sphere radius
+                vs the static plane z = plane_h — sphere centers, capsule
+                endpoints, box corners. Static contact frame (t1=+y, t2=-x,
+                n=+z, matching pipeline._tangent_frames for n=z).
+    "ss":       sphere (body_a, center offset `local`, radius) vs sphere
+                (body_b, offset b_pos, radius rb) — runtime normal/frames;
+                body_b = -1 means a static world sphere at b_pos.
+    "sb":       sphere (A) vs box (B: half extents he, offset b_pos/b_rot on
+                body_b or static at -1) — scalar port of collision._sphere_box
+                incl. the interior min-penetration branch.
+  """
+
+  kind: str
+  body_a: int
+  body_b: int           # -1: plane ("plane_pt") or static world geom
+  local: tuple          # A-side feature point / sphere-center offset (A frame)
+  radius: float         # A sphere radius (0.0 for box corners)
   plane_h: float
+  rb: float             # "ss": B sphere radius
+  he: tuple             # "sb": B box half extents
+  b_pos: tuple          # B offset pos (body_b frame; world if body_b < 0)
+  b_rot: tuple          # B offset rot (3x3)
   mu: float
   e: float
   thresh: float
@@ -361,29 +379,56 @@ def _analyze(scene, config, use_pd: bool) -> _StaticData:
   mats = np.asarray(scene.materials, np.float64)
 
   slots = []
+  _Z = (0.0, 0.0, 0.0)
+  _ID = _np_m(np.eye(3))
   for ia, ib in scene.pairs:
     ta, tb = geoms.gtype[ia], geoms.gtype[ib]
-    if tb != coll.GEOM_PLANE:
-      raise FusedStepUnsupported(f"pair types ({ta}, {tb})")
-    body = geoms.body[ia]
-    if body < 0:
-      raise FusedStepUnsupported("static non-plane geom")
-    h = float(np.asarray(geoms.params)[ib, 0])
-    opos = np.asarray(geoms.offset_pos)[ia]
-    orot = np.asarray(geoms.offset_rot)[ia]
+    ba, bb = geoms.body[ia], geoms.body[ib]
+    pa = np.asarray(geoms.params)[ia]
+    pb = np.asarray(geoms.params)[ib]
+    oa = np.asarray(geoms.offset_pos)[ia]
+    ra_ = np.asarray(geoms.offset_rot)[ia]
+    ob = np.asarray(geoms.offset_pos)[ib]
+    rb_ = np.asarray(geoms.offset_rot)[ib]
     mu, e, th = (float(x) for x in mats[geoms.material[ia], geoms.material[ib]])
-    p = np.asarray(geoms.params)[ia]
-    if ta == coll.GEOM_SPHERE:
-      slots.append(_Slot(body, _np_v(opos), float(p[0]), h, mu, e, th))
-    elif ta == coll.GEOM_BOX:
-      he = p[:3]
-      for sx in (-1.0, 1.0):
-        for sy in (-1.0, 1.0):
-          for sz in (-1.0, 1.0):
-            d = he * np.array([sx, sy, sz])
-            slots.append(_Slot(body, _np_v(opos + orot @ d), 0.0, h, mu, e, th))
+
+    def plane_pt(body, local, radius, h):
+      slots.append(_Slot("plane_pt", body, -1, _np_v(local), float(radius),
+                         float(h), 0.0, _Z, _Z, _ID, mu, e, th))
+
+    if tb == coll.GEOM_PLANE:
+      if ba < 0:
+        raise FusedStepUnsupported("static non-plane geom vs plane")
+      h = float(pb[0])
+      if ta == coll.GEOM_SPHERE:
+        plane_pt(ba, oa, pa[0], h)
+      elif ta == coll.GEOM_CAPSULE:
+        # two endpoint spheres at STATIC body-local points (r, hl along the
+        # capsule z axis) — exactly collision._capsule_plane's 2 slots
+        r_, hl = float(pa[0]), float(pa[1])
+        for s_ in (-1.0, 1.0):
+          plane_pt(ba, oa + ra_ @ np.array([0.0, 0.0, s_ * hl]), r_, h)
+      elif ta == coll.GEOM_BOX:
+        he = pa[:3]
+        for sx in (-1.0, 1.0):
+          for sy in (-1.0, 1.0):
+            for sz in (-1.0, 1.0):
+              plane_pt(ba, oa + ra_ @ (he * np.array([sx, sy, sz])), 0.0, h)
+      else:
+        raise FusedStepUnsupported(f"geom type {ta} vs plane")
+    elif (ta, tb) == (coll.GEOM_SPHERE, coll.GEOM_SPHERE):
+      slots.append(_Slot("ss", ba, bb, _np_v(oa), float(pa[0]), 0.0,
+                         float(pb[0]), _Z, _np_v(ob), _ID, mu, e, th))
+    elif (ta, tb) == (coll.GEOM_SPHERE, coll.GEOM_BOX):
+      slots.append(_Slot("sb", ba, bb, _np_v(oa), float(pa[0]), 0.0, 0.0,
+                         _np_v(pb[:3]), _np_v(ob), _np_m(rb_), mu, e, th))
+    elif (ta, tb) == (coll.GEOM_SPHERE, coll.GEOM_CAPSULE):
+      # he carries (rb, hl, 0): the capsule's radius + half-length
+      slots.append(_Slot("sc", ba, bb, _np_v(oa), float(pa[0]), 0.0,
+                         float(pb[0]), (float(pb[0]), float(pb[1]), 0.0),
+                         _np_v(ob), _np_m(rb_), mu, e, th))
     else:
-      raise FusedStepUnsupported(f"geom type {ta} vs plane")
+      raise FusedStepUnsupported(f"pair types ({ta}, {tb})")
 
   limits = tuple(
       _Limit(int(v), int(q), float(lo), float(hi))
@@ -654,23 +699,111 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
   act = [None] * (ncone + nlim)
   mu_stat = [0.0] * ncone
 
+  def _body_pose(b):
+    """(R body->world, p) — static identities for b = -1 (world geoms)."""
+    if b < 0:
+      return _I3, (0.0, 0.0, 0.0)
+    return _mT(E0[b]), r0[b]
+
+  def _runtime_frame(n):
+    """Branchless (t1, t2) for runtime unit normal n — the exact scalar port
+    of pipeline._tangent_frames (parity with the phase-split path)."""
+    ax = tuple(jnp.abs(_asvec(c, S, dtype)) for c in n)
+    pick_x = (ax[0] <= ax[1]) & (ax[0] <= ax[2])
+    pick_y = (~pick_x) & (ax[1] <= ax[2])
+    fx = pick_x.astype(dtype)
+    fy = pick_y.astype(dtype)
+    a = (fx, fy, 1.0 - fx - fy)
+    t1 = _cross(n, a)
+    inv = jax.lax.rsqrt(_add(*[_mul(c, c) for c in t1]) + 1e-18)
+    t1 = _vscale(inv, t1)
+    return t1, _cross(n, t1)
+
   for s_i, slot in enumerate(sd.slots):
-    b = slot.body
-    Rb = _mT(E0[b])                     # body -> world
-    cpt = _vadd(r0[b], _mv(Rb, slot.local))      # feature point, world
-    depth = _sub(slot.plane_h + slot.radius, cpt[2])
-    pos = (cpt[0], cpt[1], _sub(cpt[2], slot.radius))
+    ba = slot.body_a
+    Ra, pa_ = _body_pose(ba)
+    ca = _vadd(pa_, _mv(Ra, slot.local))         # A feature point/center, world
+
+    if slot.kind == "plane_pt":
+      depth = _sub(slot.plane_h + slot.radius, ca[2])
+      pos = (ca[0], ca[1], _sub(ca[2], slot.radius))
+      # static frame for n = +z (matches _tangent_frames): t1=+y, t2=-x
+      t1, t2, nrm = (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0), (0.0, 0.0, 1.0)
+      cmap = {j: 1.0 for j in sd.anc_dofs[ba]}
+    elif slot.kind in ("ss", "sc"):
+      Rb, pb_ = _body_pose(slot.body_b)
+      if slot.kind == "sc":
+        # scalar port of collision._sphere_capsule: clamp the sphere center
+        # onto the capsule segment, then sphere-vs-endpoint-sphere
+        Rg = _mm(Rb, slot.b_rot)
+        pg = _vadd(pb_, _mv(Rb, slot.b_pos))
+        axis = tuple(Rg[k][2] for k in range(3))
+        hl = slot.he[1]
+        t_ = jnp.clip(_asvec(_dot(_vsub(ca, pg), axis), S, dtype), -hl, hl)
+        cb = _vadd(pg, _vscale(t_, axis))
+      else:
+        cb = _vadd(pb_, _mv(Rb, slot.b_pos))
+      d = _vsub(ca, cb)
+      dist = jnp.sqrt(_add(*[_mul(c, c) for c in d]) + 1e-18)
+      nrm = _vscale(1.0 / dist, d)
+      depth = _sub(slot.radius + slot.rb, dist)
+      pos = _vadd(cb, _vscale(_sub(slot.rb, 0.5 * depth), nrm))
+      t1, t2 = _runtime_frame(nrm)
+      cmap = {j: 1.0 for j in sd.anc_dofs[ba]} if ba >= 0 else {}
+      if slot.body_b >= 0:
+        for j in sd.anc_dofs[slot.body_b]:
+          cmap[j] = cmap.get(j, 0.0) - 1.0
+      cmap = {j: c for j, c in cmap.items() if c != 0.0}
+    else:  # "sb" — scalar port of collision._sphere_box
+      Rbw, pbw = _body_pose(slot.body_b)
+      Rb = _mm(Rbw, slot.b_rot)
+      pb_ = _vadd(pbw, _mv(Rbw, slot.b_pos))
+      cl = _mTv(Rb, _vsub(ca, pb_))              # sphere center, box frame
+      he = slot.he
+      clamped = tuple(jnp.clip(_asvec(cl[k], S, dtype), -he[k], he[k])
+                      for k in range(3))
+      delta = _vsub(cl, clamped)
+      dist = jnp.sqrt(_add(*[_mul(c, c) for c in delta]) + 1e-18)
+      outside = dist > 1e-9
+      n_out = _vscale(1.0 / dist, delta)
+      fp = tuple(_sub(he[k], jnp.abs(_asvec(cl[k], S, dtype)))
+                 for k in range(3))
+      is0 = (fp[0] <= fp[1]) & (fp[0] <= fp[2])  # argmin, first-match
+      is1 = (~is0) & (fp[1] <= fp[2])
+      ind = (is0.astype(dtype), is1.astype(dtype),
+             1.0 - is0.astype(dtype) - is1.astype(dtype))
+      fp_k = _add(*[_mul(ind[k], fp[k]) for k in range(3)])
+      sgn = tuple(jnp.where(_asvec(cl[k], S, dtype) >= 0.0, 1.0, -1.0)
+                  for k in range(3))
+      n_in = tuple(_mul(sgn[k], ind[k]) for k in range(3))
+      n_local = tuple(jnp.where(outside, _asvec(n_out[k], S, dtype), n_in[k])
+                      for k in range(3))
+      depth = jnp.where(outside, _asvec(_sub(slot.radius, dist), S, dtype),
+                        _asvec(_add2(slot.radius, fp_k), S, dtype))
+      surf = tuple(jnp.where(outside, _asvec(clamped[k], S, dtype),
+                             _asvec(_add2(cl[k], _mul(n_in[k], fp_k)), S,
+                                    dtype))
+                   for k in range(3))
+      nrm = _mv(Rb, n_local)
+      pos = _vadd(pb_, _mv(Rb, surf))
+      t1, t2 = _runtime_frame(nrm)
+      cmap = {j: 1.0 for j in sd.anc_dofs[ba]} if ba >= 0 else {}
+      if slot.body_b >= 0:
+        for j in sd.anc_dofs[slot.body_b]:
+          cmap[j] = cmap.get(j, 0.0) - 1.0
+      cmap = {j: c for j, c in cmap.items() if c != 0.0}
+
     act[s_i] = (depth > 0).astype(dtype)
     mu_stat[s_i] = slot.mu
     r_t1, r_t2, r_n = 3 * s_i, 3 * s_i + 1, 3 * s_i + 2
     vn_pre = 0.0
-    for j in sd.anc_dofs[b]:
+    for j, cj in cmap.items():
       ang, lin = Sw[j][0], Sw[j][1]
-      col = _vadd(lin, _cross(ang, pos))
-      Jrows[r_t1][j] = col[1]            # . t1 = +y
-      Jrows[r_t2][j] = _neg(col[0])      # . t2 = -x
-      Jrows[r_n][j] = col[2]             # . n  = +z
-      vn_pre = _add2(vn_pre, _mul(col[2], u[j]))
+      col = _vscale(cj, _vadd(lin, _cross(ang, pos)))
+      Jrows[r_t1][j] = _dot(col, t1)
+      Jrows[r_t2][j] = _dot(col, t2)
+      Jrows[r_n][j] = _dot(col, nrm)
+      vn_pre = _add2(vn_pre, _mul(_dot(col, nrm), u[j]))
     b_baum = jnp.minimum(
         sd.erp * jnp.maximum(depth - sd.slop, 0.0) / dt, sd.max_corr)
     if slot.e > 0.0:

@@ -210,3 +210,63 @@ class TestSublanePacking:
     o4 = jax.jit(lambda s: f4(s, tau))(s)
     np.testing.assert_array_equal(np.asarray(o1.q), np.asarray(o4.q))
     np.testing.assert_array_equal(np.asarray(o1.u), np.asarray(o4.u))
+
+
+class TestRuntimeFramePairs:
+  """Round-4 extension: the fused kernel's scene class includes capsule-vs-
+  plane (static endpoint slots), sphere-vs-sphere, and sphere-vs-box pairs
+  with RUNTIME contact frames — the full sphere+box stack config (BASELINE
+  config 2) runs fused."""
+
+  def test_stack_config_parity_rollout(self):
+    world = World(dt=0.002, dtype=F32)
+    world.add_ground()
+    world.add_box((0.1, 0.1, 0.1), 2.0, pos=(0.0, 0.0, 0.1))
+    world.add_sphere(0.08, 1.0, pos=(0.02, 0.0, 0.29))
+    scene = world.compile(joint_limits=False)
+    sd = pallas_step._analyze(scene, pipeline.StepConfig(), use_pd=False)
+    assert sorted(s.kind for s in sd.slots) == (
+        ["plane_pt"] * 9 + ["sb"])       # 8 box corners + sphere-plane + sb
+    fused = pallas_step.make_step_batch_fused(scene, use_pd=False)
+    B = 4
+    s = _batch(scene, B, dq=0.003, du=0.1)
+    tau = jnp.zeros((B, 12), F32)
+
+    def roll(stepfn, s):
+      def body(s, _):
+        return stepfn(s), None
+      return jax.lax.scan(body, s, None, length=40)[0]
+
+    sA = jax.jit(lambda s: roll(
+        lambda x: pipeline.step_batch(scene, x, tau, None), s))(s)
+    sB = jax.jit(lambda s: roll(lambda x: fused(x, tau), s))(s)
+    np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u), atol=2e-2)
+    # physical: sphere stays stacked on the box (z ~ 0.2 + 0.08)
+    assert np.all(np.asarray(sB.q)[:, 2 + 7] > 0.2), np.asarray(sB.q)[:, 9]
+
+  def test_sphere_sphere_and_capsule_plane_parity(self):
+    world = World(dt=0.002, dtype=F32)
+    world.add_ground()
+    world.add_sphere(0.1, 1.0, pos=(0.0, 0.0, 0.11), name="a")
+    world.add_sphere(0.1, 1.0, pos=(0.12, 0.0, 0.28), name="b")
+    world.add_capsule(0.06, 0.15, 0.5, pos=(1.0, 0.0, 0.07), name="c")
+    scene = world.compile(joint_limits=False)
+    sd = pallas_step._analyze(scene, pipeline.StepConfig(), use_pd=False)
+    assert sorted(s.kind for s in sd.slots) == (
+        ["plane_pt"] * 4 + ["sc"] * 2 + ["ss"])
+    fused = pallas_step.make_step_batch_fused(scene, use_pd=False)
+    B = 3
+    s = _batch(scene, B, dq=0.002, du=0.05)
+    tau = jnp.zeros((B, 18), F32)
+
+    def roll(stepfn, s):
+      def body(s, _):
+        return stepfn(s), None
+      return jax.lax.scan(body, s, None, length=30)[0]
+
+    sA = jax.jit(lambda s: roll(
+        lambda x: pipeline.step_batch(scene, x, tau, None), s))(s)
+    sB = jax.jit(lambda s: roll(lambda x: fused(x, tau), s))(s)
+    np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u), atol=2e-2)
