@@ -56,6 +56,7 @@ _PAIR_SLOTS = {
     (GEOM_PLANE, GEOM_MESH): 4,           # 4 deepest hull vertices
     (GEOM_HEIGHTMAP, GEOM_MESH): 4,
     (GEOM_PLANE, GEOM_CONE): 4,           # apex + 3 base rim points
+    (GEOM_HEIGHTMAP, GEOM_CONE): 4,
     # round 4: every remaining convex-convex pair routes through the generic
     # support-function kernel (_support_pair, 4-slot perturbed manifold) —
     # this CLOSES the pair matrix for the built-in primitive set (C6)

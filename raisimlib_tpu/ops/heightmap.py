@@ -201,6 +201,34 @@ def _cylinder_hm(geoms, gi, kin, field):
   return out
 
 
+def _cone_hm(geoms, gi, kin, field):
+  """Cone vs heightfield: apex + 3 base-rim points (4 static slots), rim
+  sampled downhill + +-120 deg — the heightfield analog of the analytic
+  collision._cone_plane kernel (round 4: this closes the last hole in the
+  collision pair matrix)."""
+  import numpy as np
+
+  from raisimlib_tpu.ops.collision import _geom_pose
+
+  r, h_cone = geoms.params[gi, 0], geoms.params[gi, 1]
+  R, p = _geom_pose(geoms, gi, kin)
+  dtype = p.dtype
+  a = R[:, 2]
+  nz = jnp.array([0.0, 0.0, 1.0], dtype)
+  radial = nz - jnp.dot(nz, a) * a
+  rn = jnp.sqrt(jnp.sum(radial * radial))
+  degenerate = rn < 1e-6
+  u = jnp.where(degenerate, R[:, 0], -radial / jnp.where(degenerate, 1.0, rn))
+  u = u / jnp.sqrt(jnp.sum(u * u) + 1e-18)
+  w = jnp.cross(a, u)
+  out = [_point_contact(field, p + a * (0.75 * h_cone), 0.0)]   # apex
+  base_c = p - a * (0.25 * h_cone)
+  for phi in (0.0, 2.0943951, -2.0943951):
+    d = float(np.cos(phi)) * u + float(np.sin(phi)) * w
+    out.append(_point_contact(field, base_c + r * d, 0.0))
+  return out
+
+
 def _mesh_hm(geoms, gi, kin, field):
   """Convex mesh vs heightfield: the 4 hull vertices deepest below their local
   surface triangle (static slots; vertex-sampled as in collision._mesh_plane)."""
@@ -238,4 +266,6 @@ def collide_heightmap(geoms, gi, kin, field: HeightField):
     return _cylinder_hm(geoms, gi, kin, field)
   if t == coll.GEOM_MESH:
     return _mesh_hm(geoms, gi, kin, field)
+  if t == coll.GEOM_CONE:
+    return _cone_hm(geoms, gi, kin, field)
   raise NotImplementedError(f"heightmap narrow phase for gtype {t}")

@@ -181,17 +181,24 @@ class TestMesh:
 
 
 class TestNoSilentDrops:
-  def test_unsupported_pair_warns(self):
-    # round 4: cylinder-box (and every other primitive cross pair) now has a
-    # kernel (_support_pair); the only remaining hole in the matrix is
-    # cone-vs-heightmap, which must still warn rather than silently drop
-    from raisimlib_tpu.utils import terrain
+  def test_pair_matrix_fully_closed(self):
+    # round 4: EVERY built-in primitive pair has a narrow-phase kernel
+    # (analytic, support-function, or heightfield) — the unsupported-pair
+    # warning can no longer fire for built-ins. Assert the slot table covers
+    # the full matrix so a future primitive that misses entries fails here.
+    from raisimlib_tpu.ops import collision as coll
 
-    world = World(dt=0.002, dtype=F64)
-    world.add_cone(radius=0.1, height=0.2, mass=1.0, pos=(0, 0, 0.5))
-    world.add_heightmap(terrain.flat(0.0))
-    with pytest.warns(UserWarning, match="no narrow-phase kernel"):
-      world.compile()
+    prims = (coll.GEOM_SPHERE, coll.GEOM_BOX, coll.GEOM_CAPSULE,
+             coll.GEOM_CYLINDER, coll.GEOM_MESH, coll.GEOM_CONE)
+    uncovered = []
+    for i, ta in enumerate(prims):
+      for tb in prims[i:]:
+        if tuple(sorted((ta, tb))) not in coll._PAIR_SLOTS:
+          uncovered.append((ta, tb))
+      for tb in (coll.GEOM_PLANE, coll.GEOM_HEIGHTMAP):
+        if tuple(sorted((ta, tb))) not in coll._PAIR_SLOTS:
+          uncovered.append((ta, tb))
+    assert not uncovered, uncovered
 
   def test_cylinder_box_pair_supported(self):
     # the exact scene the round-3 advisor flagged as a regression (cylinder

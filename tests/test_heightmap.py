@@ -207,3 +207,23 @@ class TestStairsRiser:
     # jumps bounded by the march quantization (r/4) + a small margin
     assert np.all(np.abs(np.diff(deps)) < r / 4 + 0.02), np.abs(
         np.diff(deps)).max()
+
+
+class TestConeOnHeightmap:
+  def test_cone_rests_on_flat_field(self):
+    # round 4: cone-vs-heightmap closes the last collision pair hole
+    world = World(dt=0.002, dtype=jnp.float64)
+    world.add_cone(0.2, 0.4, 1.0, pos=(0.0, 0.0, 0.25))
+    world.add_heightmap(terrain.flat(0.0))
+    scene = world.compile(joint_limits=False)
+
+    @jax.jit
+    def roll(s):
+      def body(s, _):
+        return scene.step(s), None
+      return jax.lax.scan(body, s, None, length=600)[0]
+
+    sf = roll(scene.init_state())
+    qf, uf = np.asarray(sf.q), np.asarray(sf.u)
+    assert abs(qf[2] - 0.1) < 0.01, qf[:3]   # base ring on surface, COM at h/4
+    assert np.abs(uf).max() < 0.05, uf
