@@ -26,7 +26,7 @@ VMEM-resident pass per 128 worlds.
 
 Scope (checked by `_analyze`; unsupported scenes raise FusedStepUnsupported
 and callers fall back to ops/pipeline.step_batch):
-  * joints: FREE roots, REVOLUTE, PRISMATIC (SPHERICAL -> fallback)
+  * joints: FREE roots, REVOLUTE, PRISMATIC, SPHERICAL
   * contacts: sphere-vs-plane and box-vs-plane (the graded ANYmal balance /
     cartpole / realtime-MPC configs); other pairs -> fallback
   * constraint rows: joint limits (wires/pins/compliant -> fallback)
@@ -368,7 +368,7 @@ def _analyze(scene, config, use_pd: bool) -> _StaticData:
   model = scene.model
   for jt in model.joint_types:
     if JointType(jt) not in (JointType.FREE, JointType.REVOLUTE,
-                             JointType.PRISMATIC):
+                             JointType.PRISMATIC, JointType.SPHERICAL):
       raise FusedStepUnsupported(f"joint type {JointType(jt)!r}")
   tabs = getattr(scene, "constraints", None) or cs.EMPTY
   if tabs.wires or tabs.pins or tabs.compliant:
@@ -528,6 +528,17 @@ def _emit_fk_rnea(sd: _StaticData, q, u):
       v_b = _mTv(R, (u[va + 3], u[va + 4], u[va + 5]))
       vJ = (w_b, v_b)
       cJ = ((0.0, 0.0, 0.0), _vscale(-1.0, _cross(w_b, v_b)))
+    elif jt == JointType.SPHERICAL:
+      # ball joint: q = quat wxyz (child -> joint frame), u = omega in child
+      # body coords — constant S = [I3 | 0], cJ = 0 (mirror dynamics.py)
+      quat = (q[qa], q[qa + 1], q[qa + 2], q[qa + 3])
+      R = _quat_to_mat(*quat)
+      Rquat[i] = (quat, R)
+      EJ = _mT(R)
+      rJ = (0.0, 0.0, 0.0)
+      Srows = [((_I3[k]), (0.0, 0.0, 0.0)) for k in range(3)]
+      vJ = ((u[va], u[va + 1], u[va + 2]), (0.0, 0.0, 0.0))
+      cJ = ((0.0, 0.0, 0.0), (0.0, 0.0, 0.0))
     elif jt == JointType.REVOLUTE:
       th = q[qa]
       RJ = _rodrigues(sd.axis[i], jnp.cos(th), jnp.sin(th))
@@ -972,6 +983,27 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
                            + qn[3] * qn[3] + 1e-12)
       for k in range(4):
         qo_ref[qa + 3 + k] = _asvec(qn[k] * norm, S, dtype)
+    elif jt == JointType.SPHERICAL:
+      quat, R = Rquat[i]
+      w_w = _mv(R, (u_new[va], u_new[va + 1], u_new[va + 2]))
+      wdt = _vscale(dt, w_w)
+      ang2 = _add(*[_mul(x, x) for x in wdt])
+      angle = jnp.sqrt(ang2 + 1e-32)
+      half = 0.5 * angle
+      sinc_half = jnp.where(ang2 > 1e-16, jnp.sin(half) / angle,
+                            0.5 - ang2 / 48.0)
+      dq = (jnp.cos(half), sinc_half * wdt[0], sinc_half * wdt[1],
+            sinc_half * wdt[2])
+      w1, x1, y1, z1 = dq
+      w2, x2, y2, z2 = quat
+      qn = (w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2)
+      norm = jax.lax.rsqrt(qn[0] * qn[0] + qn[1] * qn[1] + qn[2] * qn[2]
+                           + qn[3] * qn[3] + 1e-12)
+      for k in range(4):
+        qo_ref[qa + k] = _asvec(qn[k] * norm, S, dtype)
     else:
       qo_ref[qa] = _asvec(_add2(q[qa], _mul(dt, u_new[va])), S, dtype)
 

@@ -270,3 +270,41 @@ class TestRuntimeFramePairs:
     sB = jax.jit(lambda s: roll(lambda x: fused(x, tau), s))(s)
     np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=1e-3)
     np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u), atol=2e-2)
+
+
+class TestSphericalJoint:
+  def test_spherical_pendulum_parity(self):
+    # FREE-rooted? no — a world-anchored ball joint swinging under gravity
+    world = World(dt=0.005, dtype=F32)
+    bodies = [
+        dict(parent=-1, joint=JointType.SPHERICAL, mass=1.0,
+             com=[0.15, 0.0, -0.25], inertia=0.03 * np.eye(3), name="bob",
+             actuated=False),
+    ]
+    world.add_articulated_system(bodies, name="ball")
+    scene = world.compile(joint_limits=False)
+    fused = pallas_step.make_step_batch_fused(scene, use_pd=False)
+    B = 4
+    rng = np.random.RandomState(0)
+    s0 = scene.init_state()
+    qs = np.tile(np.asarray(s0.q)[None], (B, 1)).astype(np.float32)
+    qs += 0.1 * rng.randn(B, 4).astype(np.float32)
+    qs /= np.linalg.norm(qs, axis=1, keepdims=True)
+    s = s0.__class__(q=jnp.asarray(qs),
+                     u=jnp.asarray(0.3 * rng.randn(B, 3), F32),
+                     t=jnp.zeros((B,), F32))
+    tau = jnp.zeros((B, 3), F32)
+
+    def roll(stepfn, s):
+      def body(s, _):
+        return stepfn(s), None
+      return jax.lax.scan(body, s, None, length=40)[0]
+
+    sA = jax.jit(lambda s: roll(
+        lambda x: pipeline.step_batch(scene, x, tau, None), s))(s)
+    sB = jax.jit(lambda s: roll(lambda x: fused(x, tau), s))(s)
+    np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u), atol=1e-2)
+    # quaternions stay unit
+    nrm = np.linalg.norm(np.asarray(sB.q), axis=1)
+    np.testing.assert_allclose(nrm, 1.0, atol=1e-5)
