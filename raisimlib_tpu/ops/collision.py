@@ -666,7 +666,12 @@ def _fib_sphere(k: int) -> np.ndarray:
   return np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
 
 
-_SAT_DIRS = _fib_sphere(64)
+# 128 coarse directions: at 64 the ~0.44 rad spacing occasionally localized
+# into the wrong basin of a multi-minimum depth landscape (fuzz-tested vs a
+# 4096-direction f64 oracle: up to ~1 cm depth overestimate on deep random
+# poses); 0.31 rad spacing keeps the refined result within ~6e-3 of the
+# oracle across the randomized pair fuzz
+_SAT_DIRS = _fib_sphere(128)
 
 
 def support_points(geoms: GeomTable, gi: int, kin, D: jnp.ndarray) -> jnp.ndarray:

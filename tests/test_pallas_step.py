@@ -308,3 +308,32 @@ class TestSphericalJoint:
     # quaternions stay unit
     nrm = np.linalg.norm(np.asarray(sB.q), axis=1)
     np.testing.assert_allclose(nrm, 1.0, atol=1e-5)
+
+
+class TestAutoGuard:
+  def test_auto_fused_skipped_on_cpu_but_require_works(self):
+    # "auto" must NOT engage on the CPU backend (interpret mode is minutes
+    # per step at robot scale — example smoke runs and the virtual-device
+    # dryrun would hang); "require" still builds for explicit opt-in.
+    from raisimlib_tpu.mpc import state_map
+
+    scene = _sphere_world()
+    import raisimlib_tpu.ops.pallas_step as ps
+
+    calls = []
+    orig = ps.make_step_batch_fused
+
+    def spy(*a, **k):
+      calls.append(1)
+      return orig(*a, **k)
+
+    ps.make_step_batch_fused = spy
+    try:
+      state_map.make_contact_dyn_batch(scene, control_dt=0.002, substeps=1,
+                                       use_pd=False)        # auto, CPU
+      assert not calls, "auto engaged the fused kernel on the CPU backend"
+      state_map.make_contact_dyn_batch(scene, control_dt=0.002, substeps=1,
+                                       use_pd=False, fused="require")
+      assert calls, "require did not build the fused kernel"
+    finally:
+      ps.make_step_batch_fused = orig

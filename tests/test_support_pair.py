@@ -181,3 +181,65 @@ class TestRestingAcceptance:
     # base ring at z=0 -> COM at +0.25*h = 0.1
     assert abs(qf[2] - 0.1) < 0.01, qf[:3]
     assert np.abs(uf).max() < 0.05, uf
+
+
+class TestSupportPairFuzz:
+  """Randomized oracle check: _support_pair's depth against a dense
+  separating-axis oracle (4096 f64 directions) on random convex pairs of
+  every support-mapped type. Bounds the whole search pipeline — grid,
+  refinement, feature-normal snap — not just the hand-picked cases."""
+
+  def test_depth_matches_dense_sat_oracle(self):
+    rng = np.random.default_rng(12)
+    # dense direction set for the oracle
+    k = np.arange(4096)
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * k
+    z = 1.0 - 2.0 * (k + 0.5) / len(k)
+    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    DIRS = np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=1)
+
+    def rand_quat():
+      q = rng.normal(size=4)
+      return q / np.linalg.norm(q)
+
+    adders = [
+        lambda w, p, n: w.add_box((0.2, 0.15, 0.1), 1.0, pos=p, name=n),
+        lambda w, p, n: w.add_capsule(0.08, 0.2, 1.0, pos=p, name=n),
+        lambda w, p, n: w.add_cylinder(0.1, 0.15, 1.0, pos=p, name=n),
+        lambda w, p, n: w.add_cone(0.15, 0.3, 1.0, pos=p, name=n),
+    ]
+    checked = 0
+    for trial in range(12):
+      ia, ib = rng.integers(0, len(adders), 2)
+      world = World(dt=0.002, dtype=jnp.float64)
+      adders[ia](world, (0.0, 0.0, 0.0), "a")
+      off = rng.normal(size=3) * 0.12
+      adders[ib](world, tuple(off), "b")
+      scene = world.compile(joint_limits=False)
+      s = scene.init_state()
+      q = np.array(s.q)
+      q[3:7] = rand_quat()
+      q[10:14] = rand_quat()
+      s = s.replace(q=jnp.asarray(q, jnp.float64))
+      kin = dynamics.fk(scene.model, s.q, s.u)
+      gi, gj = scene.pairs[0]
+      # oracle: min_d [h_A(d) + h_B(-d)] over the dense set
+      D = jnp.asarray(DIRS, jnp.float64)
+      sA = coll.support_points(scene.geoms, gi, kin, D)
+      sB = coll.support_points(scene.geoms, gj, kin, -D)
+      h = np.asarray(jnp.sum(D * (sA - sB), axis=1))
+      depth_oracle = float(h.min())
+      out = coll._support_pair(scene.geoms, gi, gj, kin)
+      depth_kernel = max(float(d) for _, _, d, _ in out)
+      if depth_oracle > 0.01:            # clearly penetrating
+        # both are sampled searches: the oracle's 4096 directions resolve
+        # ~0.055 rad (h error up to ~1.6e-2 on flat features, where h grows
+        # linearly in the angle), and the kernel's refinement routinely
+        # lands BELOW the oracle. Agree within the combined resolution.
+        assert depth_kernel == pytest.approx(depth_oracle, abs=1.2e-2), (
+            trial, depth_kernel, depth_oracle)
+        checked += 1
+      elif depth_oracle < -0.01:         # clearly separated
+        assert depth_kernel <= 0.005, (trial, depth_kernel, depth_oracle)
+        checked += 1
+    assert checked >= 6, checked          # the fuzz actually exercised cases
