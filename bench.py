@@ -128,6 +128,131 @@ def bench_anymal_rollouts(B=16384, H=50, pack=8, dtype=jnp.float32):
           "spread_pct": round(spread, 1)}
 
 
+def bench_anymal_terrain_rollouts(B=16384, H=50, pack=8, n_terrains=64,
+                                  dtype=jnp.float32):
+  """Batched contact-implicit rollouts/s ON PROCEDURAL HEIGHTMAPS — BASELINE
+  config 4's throughput path (round-5 verdict #2: the 105k flat-ground number
+  had no terrain counterpart). Same fused megakernel, now with the in-kernel
+  terrain narrow phase: each world reads a root-centered terrain patch
+  operand; `n_terrains` distinct fractal heightfields tile across the B
+  worlds (per-world heights, the batched-terrain-scenarios path)."""
+  from raisimlib_tpu.models import anymal
+  from raisimlib_tpu.models.urdf import load_urdf
+  from raisimlib_tpu.ops import pallas_step
+  from raisimlib_tpu.ops.integrator import State
+  from raisimlib_tpu.utils import terrain
+  from raisimlib_tpu.world import World
+
+  _note("terrain: building scene")
+  with jax.default_device(jax.devices("cpu")[0]):
+    bodies, geoms, _ = load_urdf(anymal.anymal_urdf())
+    world = World(dt=0.0025, dtype=dtype)
+    world.add_articulated_system(bodies, name="anymal", geoms=geoms)
+    keys = jax.random.split(jax.random.PRNGKey(11), n_terrains)
+    props = terrain.TerrainProperties(z_scale=0.06, x_size=12.0, y_size=6.0,
+                                      x_samples=48, y_samples=24)
+    hts_np = np.stack([np.asarray(terrain.generate(k, props, dtype=dtype)
+                                  .heights) for k in keys])
+    world.add_heightmap(terrain.flat(0.0, size=(12.0, 6.0), samples=(48, 24)))
+    scene = world.compile().set_pd_gains(100.0, 2.0)
+    q0 = np.asarray(anymal.standing_q(), np.float32)
+  fused = pallas_step.make_step_batch_fused(scene, pack=pack)
+  reps = (B + n_terrains - 1) // n_terrains
+  hts = jnp.asarray(np.tile(hts_np, (reps, 1, 1))[:B])
+  base_q = np.tile(q0[None], (B, 1)).astype(np.float32)
+  # start each robot at its terrain's local surface height under the base
+  z_surf = hts_np[np.tile(np.arange(n_terrains), reps)[:B], 24, 12]
+  base_q[:, 2] += z_surf.astype(np.float32)
+  pd = np.zeros((B, 18), np.float32)
+  pd[:, 6:] = q0[7:][None]
+  pd = jnp.asarray(pd)
+  tau0 = jnp.zeros((B, 18), jnp.float32)
+
+  def mk_states(seed):
+    rng = np.random.RandomState(seed)
+    qs = base_q + 0.02 * rng.randn(B, 19).astype(np.float32)
+    qs[:, 3:7] /= np.linalg.norm(qs[:, 3:7], axis=1, keepdims=True)
+    return State(q=jnp.asarray(qs), u=jnp.zeros((B, 18), jnp.float32),
+                 t=jnp.zeros((B,), jnp.float32))
+
+  @jax.jit
+  def run(states):
+    def body(s, _):
+      return fused(s, tau0, pd, field_heights=hts), None
+
+    out, _ = jax.lax.scan(body, states, None, length=H)
+    return out.q
+
+  _note("terrain: compiling fused terrain rollout")
+  run(mk_states(0)).block_until_ready()
+  _note("terrain: compiled, timing (fresh inputs per rep)")
+  times = []
+  for r in range(3):
+    s = mk_states(r + 1)
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    run(s).block_until_ready()
+    times.append(time.perf_counter() - t0)
+  t = min(times)
+  return {"terrain_rollouts_per_s": B / t, "terrain_steps_per_s": B * H / t,
+          "B": B, "H": H, "n_terrains": n_terrains}
+
+
+def bench_atlas_rollouts(B=1024, H=50, dtype=jnp.float32):
+  """Atlas 1024-robot x 50-step batched-scene rollouts/s on one chip — the
+  graded BASELINE config 5 scene at contract scale (round-5 verdict #4: the
+  scaling-bound doc needs a measured single-chip T_compute). pack=1: at
+  Atlas scale sublane packing measured slower (see examples/atlas_batch.py).
+  """
+  from raisimlib_tpu import scenarios
+  from raisimlib_tpu.ops import pallas_step
+  from raisimlib_tpu.ops.integrator import State
+
+  _note("atlas: building scene")
+  with jax.default_device(jax.devices("cpu")[0]):
+    cfg = scenarios.load("atlas_batch")
+    scene, info = scenarios.build_scene(cfg, dtype=dtype)
+    q0 = np.asarray(info["standing_q"]["atlas"], np.float32)
+  fused = pallas_step.make_step_batch_fused(scene, pack=1)
+  nv, nq = scene.model.nv, scene.model.nq
+  base_q = np.tile(q0[None], (B, 1)).astype(np.float32)
+  pd = np.zeros((B, nv), np.float32)
+  pd[:, 6:] = q0[7:][None]
+  pd = jnp.asarray(pd)
+  tau0 = jnp.zeros((B, nv), jnp.float32)
+
+  def mk_states(seed):
+    rng = np.random.RandomState(seed)
+    qs = base_q + 0.01 * rng.randn(B, nq).astype(np.float32)
+    qs[:, 3:7] /= np.linalg.norm(qs[:, 3:7], axis=1, keepdims=True)
+    return State(q=jnp.asarray(qs), u=jnp.zeros((B, nv), jnp.float32),
+                 t=jnp.zeros((B,), jnp.float32))
+
+  @jax.jit
+  def run(states):
+    def body(s, _):
+      return fused(s, tau0, pd), None
+
+    out, _ = jax.lax.scan(body, states, None, length=H)
+    return out.q
+
+  _note("atlas: compiling fused rollout")
+  qf = run(mk_states(0))
+  qf.block_until_ready()
+  standing = float((np.asarray(qf[:, 2]) > 0.9).mean())
+  _note(f"atlas: compiled (standing fraction {standing:.3f}), timing")
+  times = []
+  for r in range(3):
+    s = mk_states(r + 1)
+    jax.block_until_ready(s)
+    t0 = time.perf_counter()
+    run(s).block_until_ready()
+    times.append(time.perf_counter() - t0)
+  t = min(times)
+  return {"atlas_rollouts_per_s": B / t, "atlas_steps_per_s": B * H / t,
+          "B": B, "H": H, "standing_fraction": standing}
+
+
 def _balance_cost(scene, q0, dtype):
   from raisimlib_tpu.ops.spatial import quat_box_minus
 
@@ -269,7 +394,12 @@ def bench_anymal_ilqr(n_env=8, H=50, iters=8, dtype=jnp.float32):
   """iLQR solves/s through the lane-axis batched solver (round 4; the r3
   verdict asked for a committed iLQR number next to MPPI's). One solve =
   `iters` full iLQR iterations (rollout + Jacobian stacks + Riccati +
-  8-alpha parallel line search) on one env; n_env envs solve together."""
+  8-alpha parallel line search) on one env; n_env envs solve together.
+
+  Round 5: the dynamics Jacobians come from ilqr_batch's kernel-FD path —
+  2*(nx+nu) perturbed forward steps per (env, timestep) through the fused
+  megakernel — instead of jvp-tracing the phase-split step (which compiled
+  for ~246 s and solved at 4.3/s in BENCH_r04)."""
   from raisimlib_tpu.mpc.ilqr import ILQRConfig, ilqr_batch
   from raisimlib_tpu.mpc.state_map import make_contact_dyn_batch, state_to_vec
 
@@ -277,10 +407,8 @@ def bench_anymal_ilqr(n_env=8, H=50, iters=8, dtype=jnp.float32):
   scene, q0 = _balance_scene(dtype, dt=0.01)
   dyn_fast, nx, nu = make_contact_dyn_batch(scene, control_dt=0.01,
                                             substeps=1, use_pd=True)
-  dyn_diff, _, _ = make_contact_dyn_batch(scene, control_dt=0.01, substeps=1,
-                                          use_pd=True, use_kernel=False)
   rc, fc, q_stand = _balance_cost(scene, q0, dtype)
-  cfg = ILQRConfig(iters=iters)
+  cfg = ILQRConfig(iters=iters, deriv="fd")
 
   with jax.default_device(jax.devices("cpu")[0]):
     s0 = scene.init_state(q=jnp.asarray(q0))
@@ -296,15 +424,12 @@ def bench_anymal_ilqr(n_env=8, H=50, iters=8, dtype=jnp.float32):
   def dyn_u(X, U, t):
     return dyn_fast(X, U, t)
 
-  def dyn_d(X, U, t):
-    return dyn_diff(X, U, t)
-
   @jax.jit
   def run(x0s, U0s):
-    sol = ilqr_batch(dyn_u, dyn_d, rc, fc, x0s, U0s, cfg)
+    sol = ilqr_batch(dyn_u, None, rc, fc, x0s, U0s, cfg)
     return sol.cost, sol.cost_trace
 
-  _note("ilqr: compiling solve (forward kernel + jvp derivative stacks)")
+  _note("ilqr: compiling solve (forward kernel + kernel-FD derivative stacks)")
   x0s, U0s = mk(0)
   c, ct = run(x0s, U0s)
   jax.block_until_ready(c)
@@ -343,6 +468,16 @@ if __name__ == "__main__":
   roll = bench_anymal_rollouts()
   metrics.emit("bench_rollouts", path="bench_metrics.jsonl", **roll)
   try:
+    terr = bench_anymal_terrain_rollouts()
+    metrics.emit("bench_terrain", path="bench_metrics.jsonl", **terr)
+  except Exception as e:
+    terr = {"terrain_rollouts_per_s": None, "error": repr(e)[:200]}
+  try:
+    atl = bench_atlas_rollouts()
+    metrics.emit("bench_atlas", path="bench_metrics.jsonl", **atl)
+  except Exception as e:
+    atl = {"atlas_rollouts_per_s": None, "error": repr(e)[:200]}
+  try:
     mpc = bench_anymal_mpc()
     metrics.emit("bench_mpc", path="bench_metrics.jsonl", **mpc)
   except Exception as e:  # rollouts/s is the graded headline; never lose it
@@ -377,5 +512,12 @@ if __name__ == "__main__":
           "rollouts_spread_pct": roll.get("spread_pct"),
           "batch": roll["B"],
           "horizon": roll["H"],
+          "terrain_rollouts_per_s": (
+              round(terr["terrain_rollouts_per_s"], 1)
+              if terr.get("terrain_rollouts_per_s") else None),
+          "atlas_1024_rollouts_per_s": (
+              round(atl["atlas_rollouts_per_s"], 1)
+              if atl.get("atlas_rollouts_per_s") else None),
+          "atlas_standing_fraction": atl.get("standing_fraction"),
       },
   }))

@@ -127,7 +127,14 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_balance.jsonl")
   }
   metrics.emit("example_anymal_balance", path=metrics_path, echo=True, **result)
   if not smoke:
+    # The demo is a DIFFERENTIAL claim (round-5 verdict #8): the push must be
+    # strong enough to topple the passive PD-hold robot, and MPC must hold
+    # height anyway — "MPC >= PD + margin", not just an absolute height.
+    assert result["passive_final_height"] < 0.5 * float(z0), (
+        "push too weak: passive robot did not topple — the demo proves nothing")
     assert result["final_height"] > 0.9 * float(z0), "MPC failed to hold height"
+    assert (result["final_height"] - result["passive_final_height"]
+            > 0.25 * float(z0)), "MPC did not beat passive PD by the margin"
   return result
 
 

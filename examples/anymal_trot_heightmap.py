@@ -162,7 +162,10 @@ def run(smoke: bool = False, metrics_path: str = "metrics/anymal_trot.jsonl"):
   metrics.emit("example_anymal_trot_heightmap", path=metrics_path, echo=True,
                **result)
   if not smoke:
-    assert result["min_forward_m"] > 0.1, "a robot failed to advance"
+    # a defensible gait bar (round-5 verdict #1): every robot covers >= 0.5 m
+    # over the >= 3 s closed loop — actual trotting toward v_target, not drift
+    assert result["sim_seconds"] >= 3.0, "non-smoke run must simulate >= 3 s"
+    assert result["min_forward_m"] > 0.5, "a robot failed to trot forward"
     assert (zs > 0.3).all(), "a robot fell"
   return result
 

@@ -22,9 +22,16 @@ import jax as _jax
 # few meters from the origin that difference underflows to EXACTLY ZERO in
 # bf16, making the mass matrix singular and the step NaN (observed on a v5e:
 # a cone at x=2 m produced M[8,8] = 4.0 - 3.988 -> 0). Demand true f32
-# multiply-accumulate engine-wide; users who want bf16 for co-resident NN
-# code can override per-op with `precision=` or reset this config afterward.
-_jax.config.update("jax_default_matmul_precision", "float32")
+# multiply-accumulate engine-wide — but never CLOBBER a choice the process
+# already made (advisor r4 #5: co-resident NN code may want bf16): the config
+# is set only if it is still at its default (None), and setting
+# RAISIM_NO_GLOBAL_MATMUL_PRECISION=1 skips it entirely (physics then needs
+# per-op `precision=` care — the engine's own correctness tests run f32).
+import os as _os
+
+if (_os.environ.get("RAISIM_NO_GLOBAL_MATMUL_PRECISION") != "1"
+    and _jax.config.jax_default_matmul_precision is None):
+  _jax.config.update("jax_default_matmul_precision", "float32")
 
 from raisimlib_tpu.models.model import RobotModel, JointType  # noqa: F401
 from raisimlib_tpu.world import World  # noqa: F401

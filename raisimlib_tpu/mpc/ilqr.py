@@ -28,6 +28,12 @@ from flax import struct
 class ILQRConfig:
   iters: int = struct.field(pytree_node=False, default=30)
   n_alpha: int = struct.field(pytree_node=False, default=8)
+  # dynamics-Jacobian path for ilqr_batch: "jvp" pushes basis tangents through
+  # the differentiable pure-solver step (exact, slow to compile/run); "fd"
+  # central-differences through the FAST kernel path — the whole derivative
+  # stack rides the megakernel's lane axis (round-5 verdict #3)
+  deriv: str = struct.field(pytree_node=False, default="jvp")
+  fd_eps: float = struct.field(pytree_node=False, default=1e-3)
   reg_init: float = 1e-6
   reg_min: float = 1e-9
   reg_max: float = 1e8
@@ -220,9 +226,41 @@ def batched_dyn_jacobians(dyn_diff, X, U, t=0):
   return jnp.transpose(fx, (1, 2, 0)), jnp.transpose(fu, (1, 2, 0))
 
 
+def batched_dyn_jacobians_fd(dyn_fast, X, U, t=0, eps=1e-3):
+  """Per-row Jacobians (fx, fu) by CENTRAL DIFFERENCES through the fast path.
+
+  Where `batched_dyn_jacobians` needs a forward-differentiable dynamics (the
+  pure-solver path — jvp-tracing the whole phase-split step per basis
+  direction), this runs 2*(nx+nu) PERTURBED FORWARD STEPS and differences
+  them: the entire derivative stack is one batched `dyn_fast` call of
+  2*(nx+nu)*B rows riding the fused megakernel's lane axis (round-5 verdict
+  #3 option (a)). f32 central differences give ~1e-3-accurate Jacobian
+  entries (eps balances rounding ~eta|f|/eps vs truncation ~eps^2), which a
+  line-searched Newton-type method absorbs; at contact-mode boundaries the
+  eps-window even yields a bundled (smoothed) Jacobian where the exact one
+  is one-sided. `dyn_fast` must be time-invariant in t (the whole (E*H) row
+  batch shares one t), like the jvp path."""
+  B, nx = X.shape
+  nu = U.shape[1]
+  nd = nx + nu
+  dtype = X.dtype
+  dX = jnp.concatenate(
+      [jnp.eye(nx, dtype=dtype) * eps, jnp.zeros((nu, nx), dtype)], axis=0)
+  dU = jnp.concatenate(
+      [jnp.zeros((nx, nu), dtype), jnp.eye(nu, dtype=dtype) * eps], axis=0)
+  Xp = (X[None] + dX[:, None]).reshape(nd * B, nx)
+  Up = (U[None] + dU[:, None]).reshape(nd * B, nu)
+  Xm = (X[None] - dX[:, None]).reshape(nd * B, nx)
+  Um = (U[None] - dU[:, None]).reshape(nd * B, nu)
+  Y = dyn_fast(jnp.concatenate([Xp, Xm], axis=0),
+               jnp.concatenate([Up, Um], axis=0), t)
+  J = (Y[:nd * B] - Y[nd * B:]).reshape(nd, B, nx) / (2.0 * eps)
+  return jnp.transpose(J[:nx], (1, 2, 0)), jnp.transpose(J[nx:], (1, 2, 0))
+
+
 def ilqr_batch(
     dyn_fast: Callable,       # batched (X (B,nx), U (B,nu), t) -> (B,nx); fwd only
-    dyn_diff: Callable,       # same map, jvp-able (pure-solver path)
+    dyn_diff: Callable,       # same map, jvp-able (pure-solver path); None -> FD
     running_cost: Callable,   # per-world (x, u, t) -> scalar
     final_cost: Callable,     # per-world (x) -> scalar
     x0s: jnp.ndarray,         # (E, nx)
@@ -238,14 +276,23 @@ def ilqr_batch(
     * nominal rollouts and the alpha-ladder line search run `dyn_fast`
       (the megakernel / step_batch path) at batch E resp. E*n_alpha;
     * the (E*H) per-timestep dynamics Jacobians come from
-      `batched_dyn_jacobians` on `dyn_diff` in nx+nu batched JVPs;
+      `batched_dyn_jacobians` on `dyn_diff` in nx+nu batched JVPs
+      (config.deriv == "jvp"), or from `batched_dyn_jacobians_fd` central
+      differences through `dyn_fast` itself (config.deriv == "fd", or
+      dyn_diff is None) — the kernel-speed derivative path;
     * only the Riccati backward scan stays per-env (small matrices, vmap).
+
+  The derivative stack evaluates every timestep at t=0: `dyn_fast`/`dyn_diff`
+  must be time-invariant (all engine dynamics are — t only stamps State.t).
 
   Returns an ILQRSolution with a leading E axis on every field.
   """
   E, H, nu = U0s.shape
   nx = x0s.shape[1]
   dtype = x0s.dtype
+  use_fd = config.deriv == "fd" or dyn_diff is None
+  if config.deriv not in ("jvp", "fd"):
+    raise ValueError(f"unknown deriv path {config.deriv!r}")
 
   cx_fn = jax.vmap(jax.vmap(jax.grad(running_cost, argnums=0),
                             in_axes=(0, 0, 0)))
@@ -340,10 +387,13 @@ def ilqr_batch(
 
   def iteration(carry, _):
     X, U, cost, reg, K_last = carry
-    # derivative stacks: one flattened (E*H) batch through the pure path
+    # derivative stacks: one flattened (E*H) batch (pure-jvp or kernel-fd)
     Xf = X[:, :-1].reshape(E * H, nx)
     Uf = U.reshape(E * H, nu)
-    fx, fu = batched_dyn_jacobians(dyn_diff, Xf, Uf, 0)
+    if use_fd:
+      fx, fu = batched_dyn_jacobians_fd(dyn_fast, Xf, Uf, 0, config.fd_eps)
+    else:
+      fx, fu = batched_dyn_jacobians(dyn_diff, Xf, Uf, 0)
     fx = fx.reshape(E, H, nx, nx)
     fu = fu.reshape(E, H, nx, nu)
     cx = cx_fn(X[:, :-1], U, tsE)

@@ -77,8 +77,9 @@ def make_contact_dyn_batch(scene, control_dt: float, substeps: int,
   kernel launch per step, removing the latency-bound XLA assembly chain
   that capped the real-time MPC budget (metrics/step_profile_r03.md).
   `fused="never"` keeps the per-phase path; `fused="require"` raises if the
-  scene is ineligible. Ignored when `use_kernel=False` or a terrain ctx is
-  used (the fused kernel has no heightmap support yet).
+  scene is ineligible. Ignored when `use_kernel=False`. Heightmap scenes
+  (round 5) ride the fused kernel too — a per-row terrain ctx becomes the
+  kernel's patch operand (ops/pallas_step._HmStatic).
   """
   import numpy as np
 
@@ -121,9 +122,9 @@ def make_contact_dyn_batch(scene, control_dt: float, substeps: int,
     zeros_tau = jnp.zeros((B, model.nv), dtype)
 
     def body(s, _):
-      if fused_step is not None and ctx is None:
+      if fused_step is not None:
         return fused_step(s, zeros_tau if use_pd else full,
-                          full if use_pd else None), None
+                          full if use_pd else None, field_heights=ctx), None
       if use_pd:
         return pipeline.step_batch(scene, s, zeros_tau, full,
                                    field_heights=ctx,

@@ -743,7 +743,7 @@ def _support_pair(geoms, ia, ib, kin):
 
   Penetration depth of convex A, B is min over unit d of the Minkowski support
   h(d) = d.sA(d) - d.sB(-d); negative minimum = separated. The search runs a
-  static 64-direction Fibonacci grid (+ the center-line hint) and two local
+  static 128-direction Fibonacci grid (+ the center-line hint) and two local
   3x3 tangent-grid refinement rounds — the same grid-then-refine pattern as
   the cone solver — giving an MTV direction within ~0.02 rad (depth error
   ~ depth * theta^2/2). The 4-slot manifold comes from perturbed supports:

@@ -27,10 +27,15 @@ VMEM-resident pass per 128 worlds.
 Scope (checked by `_analyze`; unsupported scenes raise FusedStepUnsupported
 and callers fall back to ops/pipeline.step_batch):
   * joints: FREE roots, REVOLUTE, PRISMATIC, SPHERICAL
-  * contacts: sphere-vs-plane and box-vs-plane (the graded ANYmal balance /
-    cartpole / realtime-MPC configs); other pairs -> fallback
+  * contacts vs plane: sphere, capsule (2 endpoint spheres), box (8 corners)
+  * contacts vs heightmap (round 5): sphere, capsule endpoints (radius
+    probes with the full riser march of ops/heightmap._point_contact) and
+    box corners (point probes) — the in-kernel surface gather reads a
+    base-centered terrain patch operand (see _HmStatic); cylinder/mesh/
+    cone-vs-heightmap -> fallback
+  * runtime-frame pairs: sphere-sphere, sphere-box, sphere-capsule
   * constraint rows: joint limits (wires/pins/compliant -> fallback)
-  * no heightmap field, no external wrenches, f32 only
+  * no external wrenches, f32 only
 
 Parity: bit-compatible math with pipeline.step_batch (same formulas, same row
 order, same solver semantics) up to f32 reassociation — tested in
@@ -295,6 +300,12 @@ class _Slot(NamedTuple):
     "sb":       sphere (A) vs box (B: half extents he, offset b_pos/b_rot on
                 body_b or static at -1) — scalar port of collision._sphere_box
                 incl. the interior min-penetration branch.
+    "sc":       sphere (A) vs capsule (B) — he carries (rb, hl, 0); scalar
+                port of collision._sphere_capsule (segment clamp + sphere).
+    "hm_pt":    feature point / sphere (body_a frame `local`, radius; 0.0 for
+                box corners) vs the heightmap field — the scalar port of
+                heightmap._point_contact incl. the 16-sample riser march for
+                radius > 0, reading the per-world terrain patch operand.
   """
 
   kind: str
@@ -317,6 +328,32 @@ class _Limit(NamedTuple):
   qadr: int
   lo: float
   hi: float
+
+
+class _HmStatic(NamedTuple):
+  """Static heightfield data for the in-kernel terrain narrow phase.
+
+  The full (nx, ny) field never enters the kernel: the wrapper extracts a
+  (PRx, PRy) patch per world, centered on the FREE root's (x, y) cell, plus
+  the patch origin's world coords, and passes them as one extra operand
+  (PRx*PRy + 2 rows). `reach` (a static bound on how far any field-colliding
+  feature can be from the root, from summed link-offset norms) guarantees
+  every probe and its riser-march samples land >= 1 cell inside the patch,
+  so patch-local index math reproduces the full-field math of
+  ops/heightmap.surface_at exactly (parity caveat: the patch-relative fx
+  differs from the full-field fx by one f32 rounding of the patch origin —
+  floor() can flip only exactly on a cell boundary)."""
+
+  prx: int              # patch rows (x samples)
+  pry: int              # patch cols (y samples)
+  nx: int
+  ny: int
+  dx: float
+  dy: float
+  x_min: float          # world x of heights[0, :] (static field center)
+  y_min: float
+  root_q: int           # q index of the patch-centering FREE root's x coord
+  reach: float          # static bound: max feature distance from root (m)
 
 
 class _StaticData(NamedTuple):
@@ -358,6 +395,98 @@ class _StaticData(NamedTuple):
   ncp: int              # padded GS contact-row count
   n_wrows: int          # solver rows needing W (3*ncone + nlim)
   nrp: int              # padded solve-RHS column count (n_wrows + 1 for vf)
+  hm: Any = None        # _HmStatic when the scene has a heightmap field
+
+
+def _chain_reach(model, body: int, root: int, tabs) -> float:
+  """Static bound on the distance from `root`'s origin to `body`'s origin
+  over ALL joint configurations: the sum of fixed link-offset norms down the
+  chain (rotational joints can't stretch a chain past its offset norms).
+  Prismatic joints add their largest limit magnitude; an unlimited prismatic
+  joint in the chain makes the bound impossible -> FusedStepUnsupported."""
+  reach = 0.0
+  b = body
+  lim_by_vadr = {int(v): (float(lo), float(hi))
+                 for v, lo, hi in zip(tabs.limit_vadr, tabs.limit_lo,
+                                      tabs.limit_hi)}
+  while b != root:
+    if b < 0:
+      raise FusedStepUnsupported(
+          "heightmap-colliding geom not attached below the FREE root")
+    reach += float(np.linalg.norm(np.asarray(model.X_pos)[b]))
+    if JointType(model.joint_types[b]) == JointType.PRISMATIC:
+      lim = lim_by_vadr.get(int(model.v_adr[b]))
+      if lim is None:
+        raise FusedStepUnsupported(
+            "unlimited prismatic joint above a heightmap-colliding geom "
+            "(no static patch-reach bound)")
+      reach += max(abs(lim[0]), abs(lim[1]))
+    b = int(model.parent[b])
+  return reach
+
+
+def _analyze_field(scene, field, geoms) -> _HmStatic:
+  """Concretize the heightfield to static patch data (see _HmStatic)."""
+  from raisimlib_tpu.ops import constraints as cs
+
+  model = scene.model
+  tabs = getattr(scene, "constraints", None) or cs.EMPTY
+  H = np.asarray(field.heights)
+  if H.ndim != 2:
+    raise FusedStepUnsupported("field.heights must be (nx, ny) at build time")
+  nx, ny = H.shape
+  try:
+    center = np.asarray(jax.device_get(field.center), np.float64)
+  except Exception as e:                              # traced center
+    raise FusedStepUnsupported(f"field.center must be concrete ({e})")
+  dx = float(field.size_x) / (nx - 1)
+  dy = float(field.size_y) / (ny - 1)
+  x_min = float(center[0]) - 0.5 * float(field.size_x)
+  y_min = float(center[1]) - 0.5 * float(field.size_y)
+
+  # the patch centers on the ONE FREE root all field-colliding geoms hang off
+  hm_geom = next(i for i, t in enumerate(geoms.gtype)
+                 if t == coll.GEOM_HEIGHTMAP)
+  reach = 0.0
+  roots = set()
+  for ia, ib in scene.pairs:
+    if ib != hm_geom and ia != hm_geom:
+      continue
+    gi = ia if ib == hm_geom else ib
+    b = geoms.body[gi]
+    r = b
+    while r >= 0 and model.parent[r] >= 0:
+      r = int(model.parent[r])
+    if r < 0 or JointType(model.joint_types[r]) != JointType.FREE:
+      raise FusedStepUnsupported(
+          "heightmap-colliding geoms must descend from a FREE root")
+    roots.add(r)
+    pa = np.asarray(geoms.params)[gi]
+    oa = np.asarray(geoms.offset_pos)[gi]
+    t = geoms.gtype[gi]
+    ext = float(np.linalg.norm(oa))
+    if t == coll.GEOM_SPHERE:
+      ext += 2.0 * float(pa[0])          # radius + march span r
+    elif t == coll.GEOM_CAPSULE:
+      ext += float(pa[1]) + 2.0 * float(pa[0])
+    elif t == coll.GEOM_BOX:
+      ext += float(np.linalg.norm(pa[:3]))
+    else:
+      raise FusedStepUnsupported(
+          f"geom type {t} vs heightmap (fused path: sphere/capsule/box only)")
+    reach = max(reach, _chain_reach(model, b, r, tabs) + ext)
+  if len(roots) != 1:
+    raise FusedStepUnsupported(
+        f"heightmap-colliding geoms span {len(roots)} FREE roots (need 1)")
+  root = roots.pop()
+
+  # patch size: the probe cell +-(reach/d) cells around the root cell, plus
+  # 1 cell of gather neighborhood and 2 of floor/clamp slack each side
+  prx = min(2 * (int(np.ceil(reach / dx)) + 3) + 2, nx)
+  pry = min(2 * (int(np.ceil(reach / dy)) + 3) + 2, ny)
+  return _HmStatic(prx=prx, pry=pry, nx=nx, ny=ny, dx=dx, dy=dy,
+                   x_min=x_min, y_min=y_min,
+                   root_q=int(model.q_adr[root]), reach=float(reach))
 
 
 def _analyze(scene, config, use_pd: bool) -> _StaticData:
@@ -373,10 +502,13 @@ def _analyze(scene, config, use_pd: bool) -> _StaticData:
   tabs = getattr(scene, "constraints", None) or cs.EMPTY
   if tabs.wires or tabs.pins or tabs.compliant:
     raise FusedStepUnsupported("wires/pins/compliant constraints")
-  if getattr(scene, "field", None) is not None:
-    raise FusedStepUnsupported("heightmap field")
   geoms = scene.geoms
   mats = np.asarray(scene.materials, np.float64)
+
+  field = getattr(scene, "field", None)
+  hm = None
+  if field is not None:
+    hm = _analyze_field(scene, field, geoms)
 
   slots = []
   _Z = (0.0, 0.0, 0.0)
@@ -396,7 +528,27 @@ def _analyze(scene, config, use_pd: bool) -> _StaticData:
       slots.append(_Slot("plane_pt", body, -1, _np_v(local), float(radius),
                          float(h), 0.0, _Z, _Z, _ID, mu, e, th))
 
-    if tb == coll.GEOM_PLANE:
+    def hm_pt(body, local, radius):
+      slots.append(_Slot("hm_pt", body, -1, _np_v(local), float(radius),
+                         0.0, 0.0, _Z, _Z, _ID, mu, e, th))
+
+    if tb == coll.GEOM_HEIGHTMAP:
+      # slot counts/order mirror heightmap.collide_heightmap exactly
+      if ta == coll.GEOM_SPHERE:
+        hm_pt(ba, oa, pa[0])
+      elif ta == coll.GEOM_CAPSULE:
+        r_, hl = float(pa[0]), float(pa[1])
+        for s_ in (-1.0, 1.0):
+          hm_pt(ba, oa + ra_ @ np.array([0.0, 0.0, s_ * hl]), r_)
+      elif ta == coll.GEOM_BOX:
+        he = pa[:3]
+        for sx in (-1.0, 1.0):
+          for sy in (-1.0, 1.0):
+            for sz in (-1.0, 1.0):
+              hm_pt(ba, oa + ra_ @ (he * np.array([sx, sy, sz])), 0.0)
+      else:
+        raise FusedStepUnsupported(f"geom type {ta} vs heightmap")
+    elif tb == coll.GEOM_PLANE:
       if ba < 0:
         raise FusedStepUnsupported("static non-plane geom vs plane")
       h = float(pb[0])
@@ -485,7 +637,7 @@ def _analyze(scene, config, use_pd: bool) -> _StaticData:
       max_corr=float(config.max_correction_vel),
       sweeps=int(config.solver.sweeps), n_grid=int(config.solver.n_grid),
       slots=tuple(slots), limits=limits,
-      ncp=ncp, n_wrows=n_wrows, nrp=nrp)
+      ncp=ncp, n_wrows=n_wrows, nrp=nrp, hm=hm)
 
 
 # ---------------------------------------------------------------------------
@@ -662,15 +814,155 @@ def _emit_chol(nv: int, M):
   return L, invd
 
 
-def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
-                 jt_scr, wt_scr, lam_scr, z_scr, *, sd: _StaticData,
+def _emit_hm_probe(hm: _HmStatic, P, ox, oy, ca, r: float, S, dtype):
+  """Scalar port of heightmap._point_contact against the patch operand.
+
+  P is the list of patch rows (patch[a, b] = P[a*pry + b], each shape S);
+  (ox, oy) the patch origin's world coords. Returns (pos3, nrm3, depth, act)
+  with the identical sample order, gating, and best-candidate selection as
+  the full-field march (r > 0: 4 directions x 4 fractions; r == 0: single
+  sample). Height gathers run as shifted one-hot rowsums over the patch —
+  every march sample reuses the slot's (prx + pry) index one-hots and the
+  cross-pattern neighborhood N[(di, dj)], so the per-sample cost is O(span)
+  selects instead of O(prx*pry) gathers."""
+  prx, pry = hm.prx, hm.pry
+  dx, dy = hm.dx, hm.dy
+  npatch = prx * pry
+  px, py, pz = (_asvec(c, S, dtype) for c in ca)
+  fx = (px - ox) / dx
+  fy = (py - oy) / dy
+  i = jnp.clip(jnp.floor(fx), 0.0, prx - 2.0)
+  j = jnp.clip(jnp.floor(fy), 0.0, pry - 2.0)
+  u = jnp.clip(fx - i, 0.0, 1.0)
+  v = jnp.clip(fy - j, 0.0, 1.0)
+
+  span_x = max(1, int(np.ceil(r / dx))) if r > 0.0 else 0
+  span_y = max(1, int(np.ceil(r / dy))) if r > 0.0 else 0
+  dis = list(range(-span_x, span_x + 2)) if r > 0.0 else [0, 1]
+  djs = list(range(-span_y, span_y + 2)) if r > 0.0 else [0, 1]
+  # cross pattern: x-march samples shift only di, y-march only dj
+  keys = [(di, dj) for di in dis for dj in djs
+          if dj in (0, 1) or di in (0, 1)]
+
+  ohx = [(i == float(a)).astype(dtype) for a in range(prx - 1)]
+  ohy = [(j == float(b)).astype(dtype) for b in range(pry - 1)]
+  colsel = {}
+  for dj in sorted({dj for _, dj in keys}):
+    col = []
+    for a in range(prx):
+      acc = 0.0
+      for b in range(pry - 1):
+        idx = a * pry + b + dj
+        # out-of-range entries are never selected (the march can only step
+        # past the patch border where the full-field clip pins the index);
+        # substitute any finite value so the zero-weighted term is benign
+        pv = P[idx] if 0 <= idx < npatch else P[0]
+        acc = _add2(acc, _mul(ohy[b], pv))
+      col.append(acc)
+    colsel[dj] = col
+  N = {}
+  for di, dj in keys:
+    acc = 0.0
+    for a in range(prx - 1):
+      aa = a + di
+      cv = colsel[dj][aa] if 0 <= aa < prx else colsel[dj][0]
+      acc = _add2(acc, _mul(ohx[a], cv))
+    N[(di, dj)] = acc
+
+  def tri(h00, h10, h01, h11, uu, vv):
+    """Mirror heightmap.surface_at's triangle-plane evaluation."""
+    lower = (uu + vv) <= 1.0
+    z_low = h00 + uu * (h10 - h00) + vv * (h01 - h00)
+    z_up = h11 + (1.0 - uu) * (h01 - h11) + (1.0 - vv) * (h10 - h11)
+    z = jnp.where(lower, z_low, z_up)
+    gx = jnp.where(lower, h10 - h00, h11 - h01) / dx
+    gy = jnp.where(lower, h01 - h00, h11 - h10) / dy
+    norm = jnp.sqrt(gx * gx + gy * gy + 1.0 + 1e-18)
+    return z, (-gx / norm, -gy / norm, 1.0 / norm)
+
+  def inside_at(qx, qy):
+    # float 0/1 mask (Mosaic's vector select on i1 operands does not lower —
+    # "Unsupported target bitwidth for truncation" — so inside-ness stays in
+    # float all the way through the best-candidate updates)
+    fxf = (qx - hm.x_min) / dx
+    fyf = (qy - hm.y_min) / dy
+    return ((fxf >= 0.0).astype(dtype) * (fxf <= hm.nx - 1.0).astype(dtype)
+            * (fyf >= 0.0).astype(dtype) * (fyf <= hm.ny - 1.0).astype(dtype))
+
+  z_c, n_c = tri(N[(0, 0)], N[(1, 0)], N[(0, 1)], N[(1, 1)], u, v)
+  depth = r - n_c[2] * (pz - z_c)
+  inside = inside_at(px, py)
+  if r == 0.0:
+    return (px, py, pz), n_c, depth, (depth > 0).astype(dtype) * inside
+
+  best_d, best_n, best_in = depth, n_c, inside
+  for oxd, oyd in ((1.0, 0.0), (-1.0, 0.0), (0.0, 1.0), (0.0, -1.0)):
+    ndir = (-oxd, -oyd, 0.0)
+    for f in (0.25, 0.5, 0.75, 1.0):
+      qx = px + oxd * (f * r) if oxd != 0.0 else px
+      qy = py + oyd * (f * r) if oyd != 0.0 else py
+      if oyd == 0.0:                       # x-march: j, v unchanged (bitwise)
+        fx_s = (qx - ox) / dx
+        i_s = jnp.clip(jnp.floor(fx_s), 0.0, prx - 2.0)
+        u_s = jnp.clip(fx_s - i_s, 0.0, 1.0)
+        sel = [(i_s == i + float(d)).astype(dtype)
+               for d in range(-span_x, span_x + 1)]
+        pick = lambda dj: (
+            _add(*[_mul(sel[k], N[(d, dj)])
+                   for k, d in enumerate(range(-span_x, span_x + 1))]),
+            _add(*[_mul(sel[k], N[(d + 1, dj)])
+                   for k, d in enumerate(range(-span_x, span_x + 1))]))
+        h00, h10 = pick(0)
+        h01, h11 = pick(1)
+        z_k, n_k = tri(h00, h10, h01, h11, u_s, v)
+      else:                                # y-march: i, u unchanged
+        fy_s = (qy - oy) / dy
+        j_s = jnp.clip(jnp.floor(fy_s), 0.0, pry - 2.0)
+        v_s = jnp.clip(fy_s - j_s, 0.0, 1.0)
+        sel = [(j_s == j + float(d)).astype(dtype)
+               for d in range(-span_y, span_y + 1)]
+        pick = lambda di: (
+            _add(*[_mul(sel[k], N[(di, d)])
+                   for k, d in enumerate(range(-span_y, span_y + 1))]),
+            _add(*[_mul(sel[k], N[(di, d + 1)])
+                   for k, d in enumerate(range(-span_y, span_y + 1))]))
+        h00, h01 = pick(0)
+        h10, h11 = pick(1)
+        z_k, n_k = tri(h00, h10, h01, h11, u, v_s)
+      in_k = inside_at(qx, qy)
+      d_k = _dot(n_k, _vsub((px, py, pz), (qx, qy, z_k)))
+      dep_plane = jnp.where(n_k[2] < 0.77, r - d_k, -1.0)
+      dep_wall = jnp.where(z_k > pz, r - f * r, -1.0)
+      use_plane = dep_plane >= dep_wall
+      dep_k = jnp.maximum(dep_plane, dep_wall)
+      n_cand = tuple(jnp.where(use_plane, _asvec(n_k[k], S, dtype),
+                               _asvec(ndir[k], S, dtype)) for k in range(3))
+      better = dep_k > best_d
+      best_d = jnp.where(better, dep_k, best_d)
+      best_n = tuple(jnp.where(better, n_cand[k],
+                               _asvec(best_n[k], S, dtype)) for k in range(3))
+      best_in = jnp.where(better, in_k, best_in)
+  pos = _vsub((px, py, pz), _vscale(r, best_n))
+  return pos, best_n, best_d, (best_d > 0).astype(dtype) * best_in
+
+
+def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, *refs, sd: _StaticData,
                  tile: int, pack: int):
   """One batch tile: the full physics step in VMEM (see module docstring).
 
   `pack` > 1 puts `pack` worlds on the SUBLANE axis of every per-world
   "scalar" — shape (pack, tile) instead of (tile,) — so each VPU
   instruction processes pack*tile worlds instead of tile. The kernel body
-  is shape-generic; only S below changes."""
+  is shape-generic; only S below changes.
+
+  When the scene has a heightmap (sd.hm), one extra input ref carries the
+  per-world terrain patch + origin (see _HmStatic) between pd_ref and the
+  outputs."""
+  if sd.hm is not None:
+    hm_ref, qo_ref, uo_ref, jt_scr, wt_scr, lam_scr, z_scr = refs
+  else:
+    hm_ref = None
+    qo_ref, uo_ref, jt_scr, wt_scr, lam_scr, z_scr = refs
   S = (pack, tile) if pack > 1 else (tile,)
   dtype = jnp.float32
   nv, nq, nb = sd.nv, sd.nq, sd.nb
@@ -678,6 +970,10 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
 
   q = [q_ref[i] for i in range(nq)]
   u = [u_ref[i] for i in range(nv)]
+  if sd.hm is not None:
+    npatch = sd.hm.prx * sd.hm.pry
+    hm_P = [hm_ref[k] for k in range(npatch)]
+    hm_ox, hm_oy = hm_ref[npatch], hm_ref[npatch + 1]
 
   # ---- A. actuation: feedforward + implicit PD, clamp (mirror _assemble_rows)
   tau = [0.0] * nv
@@ -735,11 +1031,17 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
     Ra, pa_ = _body_pose(ba)
     ca = _vadd(pa_, _mv(Ra, slot.local))         # A feature point/center, world
 
+    valid = None                                 # default: depth > 0
     if slot.kind == "plane_pt":
       depth = _sub(slot.plane_h + slot.radius, ca[2])
       pos = (ca[0], ca[1], _sub(ca[2], slot.radius))
       # static frame for n = +z (matches _tangent_frames): t1=+y, t2=-x
       t1, t2, nrm = (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0), (0.0, 0.0, 1.0)
+      cmap = {j: 1.0 for j in sd.anc_dofs[ba]}
+    elif slot.kind == "hm_pt":
+      pos, nrm, depth, valid = _emit_hm_probe(
+          sd.hm, hm_P, hm_ox, hm_oy, ca, slot.radius, S, dtype)
+      t1, t2 = _runtime_frame(nrm)
       cmap = {j: 1.0 for j in sd.anc_dofs[ba]}
     elif slot.kind in ("ss", "sc"):
       Rb, pb_ = _body_pose(slot.body_b)
@@ -804,7 +1106,7 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, qo_ref, uo_ref,
           cmap[j] = cmap.get(j, 0.0) - 1.0
       cmap = {j: c for j, c in cmap.items() if c != 0.0}
 
-    act[s_i] = (depth > 0).astype(dtype)
+    act[s_i] = (valid if valid is not None else (depth > 0)).astype(dtype)
     mu_stat[s_i] = slot.mu
     r_t1, r_t2, r_n = 3 * s_i, 3 * s_i + 1, 3 * s_i + 2
     vn_pre = 0.0
@@ -1048,19 +1350,28 @@ def build_fused_step_lane(scene, config=None, use_pd: bool = True,
   S = (pack, tile) if pack > 1 else (tile,)
   zeros = (0,) * len(S)
 
-  def step_lane(qT, uT, tauT, pdT):
-    # qT etc: (nrows,) + (pack, L) or (L,) with L a multiple of tile
+  nhmp = _pad8(sd.hm.prx * sd.hm.pry + 2) if sd.hm is not None else 0
+
+  def step_lane(qT, uT, tauT, pdT, hmT=None):
+    # qT etc: (nrows,) + (pack, L) or (L,) with L a multiple of tile;
+    # hmT (nhmp,) + ... carries the terrain patch + origin when sd.hm
     L = qT.shape[-1]
     assert L % tile == 0, (L, tile)
+    assert (hmT is None) == (sd.hm is None)
     grid = (L // tile,)
     idx = lambda t: (0,) + zeros[:-1] + (t,)
     spec = lambda nrow: pl.BlockSpec((nrow,) + S, idx,
                                      memory_space=pltpu.VMEM)
+    in_specs = [spec(nqp), spec(nvp), spec(nvp), spec(nvp)]
+    ins = [qT, uT, tauT, pdT]
+    if sd.hm is not None:
+      in_specs.append(spec(nhmp))
+      ins.append(hmT)
     return pl.pallas_call(
         kernel,
         interpret=(jax.default_backend() == "cpu"),
         grid=grid,
-        in_specs=[spec(nqp), spec(nvp), spec(nvp), spec(nvp)],
+        in_specs=in_specs,
         out_specs=[spec(nqp), spec(nvp)],
         out_shape=[jax.ShapeDtypeStruct((nqp,) + S[:-1] + (L,), jnp.float32),
                    jax.ShapeDtypeStruct((nvp,) + S[:-1] + (L,), jnp.float32)],
@@ -1072,7 +1383,7 @@ def build_fused_step_lane(scene, config=None, use_pd: bool = True,
             pltpu.VMEM((3, sd.ncp) + S, jnp.float32),
             pltpu.VMEM((nvp,) + S, jnp.float32),
         ],
-    )(qT, uT, tauT, pdT)
+    )(*ins)
 
   return step_lane, sd
 
@@ -1081,11 +1392,20 @@ def make_step_batch_fused(scene, config=None, use_pd: bool = True,
                           tile: int = 128, pack: int = 1):
   """Drop-in fused replacement for pipeline.step_batch on eligible scenes.
 
-  Returns step(state, tau, pd_target) -> State (pd_target ignored when
-  use_pd=False). Forward runs the megakernel; the custom VJP re-derives
-  gradients through the differentiable pure path (pipeline.step_batch), the
-  same forward/backward split as ops/pallas_contact.solve_dynamics_batch.
-  Raises FusedStepUnsupported for scenes outside the kernel's class.
+  Returns step(state, tau, pd_target, field_heights=None) -> State
+  (pd_target ignored when use_pd=False). Forward runs the megakernel; the
+  custom VJP re-derives gradients through the differentiable pure path
+  (pipeline.step_batch), the same forward/backward split as
+  ops/pallas_contact.solve_dynamics_batch. Raises FusedStepUnsupported for
+  scenes outside the kernel's class.
+
+  Heightmap scenes (round 5): `field_heights` (B, nx, ny) gives each world
+  its own terrain (batched terrain scenarios); None uses the scene's field
+  for every world. The wrapper slices a root-centered (prx, pry) patch per
+  world outside the kernel (one vmapped dynamic_slice — bandwidth-trivial
+  next to the step) and the kernel runs the full heightmap narrow phase
+  including the riser march in-kernel.
+
   `pack` sublane-packs worlds (see build_fused_step_lane) — use 8 for
   large-batch throughput, 1 for small batches (B pads to pack*tile)."""
   from raisimlib_tpu.ops import pipeline
@@ -1096,6 +1416,24 @@ def make_step_batch_fused(scene, config=None, use_pd: bool = True,
   nqp, nvp = _pad8(sd.nq), _pad8(sd.nv)
   dt = sd.dt
   chunk = pack * tile
+  hm = sd.hm
+  nhmp = _pad8(hm.prx * hm.pry + 2) if hm is not None else 0
+
+  def extract_patch(qb, heights):
+    """(B, nq), (B, nx, ny) -> (B, prx*pry + 2) patch rows + origin."""
+    B = qb.shape[0]
+    dtype = qb.dtype
+    fx = (qb[:, hm.root_q] - hm.x_min) / hm.dx
+    fy = (qb[:, hm.root_q + 1] - hm.y_min) / hm.dy
+    i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32) - (hm.prx // 2 - 1),
+                  0, hm.nx - hm.prx)
+    j0 = jnp.clip(jnp.floor(fy).astype(jnp.int32) - (hm.pry // 2 - 1),
+                  0, hm.ny - hm.pry)
+    patch = jax.vmap(lambda h, a, b: jax.lax.dynamic_slice(
+        h, (a, b), (hm.prx, hm.pry)))(heights, i0, j0)
+    ox = (hm.x_min + i0.astype(dtype) * hm.dx)[:, None]
+    oy = (hm.y_min + j0.astype(dtype) * hm.dy)[:, None]
+    return jnp.concatenate([patch.reshape(B, -1), ox, oy], axis=1)
 
   def to_lane(x, nrow):
     xT = jnp.transpose(x, (1, 0))
@@ -1113,35 +1451,49 @@ def make_step_batch_fused(scene, config=None, use_pd: bool = True,
       xo = xo.reshape(xo.shape[0], -1)
     return jnp.transpose(xo[:nrows, :B], (1, 0))
 
-  def fused_raw(state, tau, pd):
+  def fused_raw(state, tau, pd, heights):
     B = state.q.shape[0]
     qT = to_lane(state.q, nqp)
     uT = to_lane(state.u, nvp)
     tauT = to_lane(tau, nvp)
     pdT = to_lane(pd, nvp) if pd is not None else jnp.zeros_like(uT)
-    qo, uo = step_lane(qT, uT, tauT, pdT)
+    hmT = (to_lane(extract_patch(state.q, heights), nhmp)
+           if hm is not None else None)
+    qo, uo = step_lane(qT, uT, tauT, pdT, hmT)
     return State(q=from_lane(qo, sd.nq, B),
                  u=from_lane(uo, sd.nv, B),
                  t=state.t + dt)
 
-  def pure_ref(state, tau, pd):
+  def pure_ref(state, tau, pd, heights):
     return pipeline.step_batch(scene, state, tau,
-                               pd if use_pd else None, config)
+                               pd if use_pd else None, config,
+                               field_heights=heights)
 
   @jax.custom_vjp
-  def fused(state, tau, pd):
-    return fused_raw(state, tau, pd)
+  def fused(state, tau, pd, heights):
+    return fused_raw(state, tau, pd, heights)
 
-  def fwd(state, tau, pd):
-    return fused_raw(state, tau, pd), (state, tau, pd)
+  def fwd(state, tau, pd, heights):
+    return fused_raw(state, tau, pd, heights), (state, tau, pd, heights)
 
   def bwd(res, g):
-    state, tau, pd = res
-    _, vjp = jax.vjp(pure_ref, state, tau, pd)
+    state, tau, pd, heights = res
+    _, vjp = jax.vjp(pure_ref, state, tau, pd, heights)
     return vjp(g)
 
   fused.defvjp(fwd, bwd)
 
+  def norm_heights(state, fh):
+    if hm is None:
+      assert fh is None, "field_heights passed for a field-less scene"
+      return None
+    if fh is None:
+      hts = scene.field.heights
+      return jnp.broadcast_to(hts, (state.q.shape[0],) + hts.shape)
+    return fh
+
   if use_pd:
-    return lambda state, tau, pd_target: fused(state, tau, pd_target)
-  return lambda state, tau, pd_target=None: fused(state, tau, None)
+    return lambda state, tau, pd_target, field_heights=None: fused(
+        state, tau, pd_target, norm_heights(state, field_heights))
+  return lambda state, tau, pd_target=None, field_heights=None: fused(
+      state, tau, None, norm_heights(state, field_heights))

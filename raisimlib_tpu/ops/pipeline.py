@@ -148,8 +148,13 @@ def _assemble_rows(
   D = jnp.zeros((model.nv,), dtype=dtype)
   if pd_target is not None:
     jidx, jmask = _joint_pos_index(model)
-    joint_q = q[jnp.asarray(jidx)] * jnp.asarray(jmask, dtype=dtype)
-    tau = tau + scene.kp * (pd_target - joint_q) * model.actuated
+    jm = jnp.asarray(jmask, dtype=dtype)
+    joint_q = q[jnp.asarray(jidx)] * jm
+    # kp acts only on scalar-coordinate dofs (jmask): FREE/SPHERICAL dofs
+    # have no position coordinate a PD target could servo — previously an
+    # actuated multi-dof joint got a spurious kp*(target - 0) term here
+    # while the fused kernel correctly skipped it (advisor r4 #4)
+    tau = tau + scene.kp * (pd_target - joint_q) * model.actuated * jm
     D = scene.kd * model.actuated
   tau = jnp.clip(tau, -model.torque_limit, model.torque_limit)
 

@@ -75,3 +75,70 @@ def test_ilqr_batch_matches_vmap_ilqr():
   np.testing.assert_allclose(np.asarray(sol_b.X[:, -1]), 0.0, atol=5e-2)
   ct = np.asarray(sol_b.cost_trace)
   assert np.all(ct[:, 1:] <= ct[:, :-1] + 1e-10)
+
+
+def test_fd_jacobians_match_autodiff():
+  """Kernel-FD central differences vs exact jacfwd on the smooth test system
+  (round-5 verdict #3: the derivative stack rides the forward path)."""
+  from raisimlib_tpu.mpc.ilqr import batched_dyn_jacobians_fd
+
+  key = jax.random.PRNGKey(2)
+  X = jax.random.normal(key, (6, 2), jnp.float64)
+  U = jax.random.normal(jax.random.fold_in(key, 1), (6, 1), jnp.float64)
+  fx, fu = batched_dyn_jacobians_fd(dyn_b, X, U, 0, eps=1e-4)
+  fx_ref = jax.vmap(jax.jacfwd(dyn_one_nl, argnums=0),
+                    in_axes=(0, 0, None))(X, U, 0)
+  fu_ref = jax.vmap(jax.jacfwd(dyn_one_nl, argnums=1),
+                    in_axes=(0, 0, None))(X, U, 0)
+  np.testing.assert_allclose(np.asarray(fx), np.asarray(fx_ref), atol=1e-6)
+  np.testing.assert_allclose(np.asarray(fu), np.asarray(fu_ref), atol=1e-6)
+
+
+def test_ilqr_batch_fd_converges_like_jvp():
+  """deriv="fd" (dyn_diff=None) must reach the same optimum as the jvp path
+  on the linear-quadratic problem (exact FD on a linear system)."""
+  E, H = 3, 40
+  x0s = jnp.asarray([[1.0, 0.0], [-0.5, 0.3], [0.2, -0.8]], jnp.float64)
+  U0s = jnp.zeros((E, H, 1), jnp.float64)
+
+  def lin_dyn_b(X, U, t):
+    return X @ A.T + U @ B.T
+
+  sol_jvp = jax.jit(lambda x, U: ilqr_batch(
+      lin_dyn_b, lin_dyn_b, rc, fc, x, U, ILQRConfig(iters=6)))(x0s, U0s)
+  sol_fd = jax.jit(lambda x, U: ilqr_batch(
+      lin_dyn_b, None, rc, fc, x, U,
+      ILQRConfig(iters=6, deriv="fd", fd_eps=1e-4)))(x0s, U0s)
+  np.testing.assert_allclose(np.asarray(sol_fd.cost),
+                             np.asarray(sol_jvp.cost), rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(sol_fd.U), np.asarray(sol_jvp.U),
+                             atol=1e-4)
+
+
+def test_fd_jacobians_contact_scene_close_to_jvp():
+  """FD through the batched CONTACT step vs the jvp pure path on a sphere
+  scene: entries agree to the f32-FD tolerance (~1e-2) away from contact-mode
+  boundaries — the accuracy class the line search absorbs."""
+  from raisimlib_tpu.mpc.ilqr import batched_dyn_jacobians_fd
+  from raisimlib_tpu.mpc.state_map import make_contact_dyn_batch
+  from raisimlib_tpu.world import World
+
+  world = World(dt=0.004, dtype=jnp.float32)
+  world.add_ground()
+  world.add_sphere(0.1, 1.0, pos=(0.0, 0.0, 0.09))   # resting contact
+  scene = world.compile(joint_limits=False)
+  dyn_b2, nx, nu = make_contact_dyn_batch(scene, control_dt=0.004, substeps=1,
+                                          use_pd=False)
+  dyn_d2, _, _ = make_contact_dyn_batch(scene, control_dt=0.004, substeps=1,
+                                        use_pd=False, use_kernel=False)
+  B = 3
+  rng = np.random.RandomState(0)
+  s0 = scene.init_state()
+  X = np.tile(np.concatenate([np.asarray(s0.q), np.asarray(s0.u)])[None],
+              (B, 1)).astype(np.float32)
+  X = jnp.asarray(X[:, :nx])
+  U = jnp.asarray(0.1 * rng.randn(B, nu).astype(np.float32))
+  fx_fd, fu_fd = batched_dyn_jacobians_fd(dyn_b2, X, U, 0, eps=1e-3)
+  fx_jv, fu_jv = batched_dyn_jacobians(dyn_d2, X, U, 0)
+  np.testing.assert_allclose(np.asarray(fx_fd), np.asarray(fx_jv), atol=2e-2)
+  np.testing.assert_allclose(np.asarray(fu_fd), np.asarray(fu_jv), atol=2e-2)

@@ -142,15 +142,88 @@ class TestEligibility:
     assert len(sd.slots) == 12           # 8 base-box corners + 4 feet
     assert len(sd.limits) == 12
 
-  def test_heightmap_scene_falls_back(self):
+  def test_heightmap_unsupported_geom_falls_back(self):
+    # cylinder-vs-heightmap is outside the fused class -> clean fallback
     from raisimlib_tpu.utils import terrain
 
     world = World(dt=0.002, dtype=F32)
     world.add_heightmap(terrain.flat(0.0))
-    world.add_sphere(0.1, 1.0, pos=(0, 0, 0.5))
+    world.add_cylinder(0.1, 0.2, 1.0, pos=(0, 0, 0.5))
     scene = world.compile(joint_limits=False)
     with pytest.raises(pallas_step.FusedStepUnsupported):
       pallas_step.make_step_batch_fused(scene, use_pd=False)
+
+  def _hm_world(self, riser=True, nsamp=17):
+    import jax as _jax
+    from raisimlib_tpu.utils import terrain
+
+    field = terrain.generate(
+        _jax.random.PRNGKey(3),
+        terrain.TerrainProperties(z_scale=0.15, x_size=4.0, y_size=4.0,
+                                  x_samples=nsamp, y_samples=nsamp),
+        dtype=F32)
+    if riser:
+      H = np.asarray(field.heights).copy()
+      H[10:, :] += 0.25                     # step band: march gates fire
+      field = field.replace(heights=jnp.asarray(H))
+    world = World(dt=0.002, dtype=F32)
+    world.add_heightmap(field)
+    world.add_sphere(0.1, 1.0, pos=(0.0, 0.0, 0.5))
+    return world.compile(joint_limits=False), field
+
+  def _hm_batch(self, scene, B):
+    rng = np.random.RandomState(0)
+    s0 = scene.init_state()
+    qs = np.tile(np.asarray(s0.q)[None], (B, 1)).astype(np.float32)
+    qs[:, 0] = np.linspace(-1.2, 1.2, B)
+    qs[:, 1] = rng.uniform(-1.0, 1.0, B)
+    qs[:, 2] = 0.28 + 0.1 * rng.rand(B)
+    qs[:, 3:7] /= np.linalg.norm(qs[:, 3:7], axis=1, keepdims=True)
+    us = 0.5 * rng.randn(B, scene.model.nv).astype(np.float32)
+    us[:, 3] = 2.0                          # drive toward the riser band
+    return s0.__class__(q=jnp.asarray(qs), u=jnp.asarray(us),
+                        t=jnp.zeros((B,), F32))
+
+  def test_heightmap_parity_rollout(self):
+    """Fused in-kernel terrain narrow phase (incl. the riser march) vs the
+    phase-split path, 5-step rollout over a bumpy field with a step band
+    (round-5 verdict #2)."""
+    scene, _ = self._hm_world()
+    fused = pallas_step.make_step_batch_fused(scene, use_pd=False)
+    B = 8
+    s = self._hm_batch(scene, B)
+    tau = jnp.zeros((B, scene.model.nv), F32)
+
+    def roll(stepfn, s, n=5):
+      for _ in range(n):
+        s = stepfn(s)
+      return s
+
+    sA = roll(lambda st: pipeline.step_batch(scene, st, tau, None), s)
+    sB = roll(lambda st: fused(st, tau, None), s)
+    np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u), atol=5e-4)
+
+  def test_heightmap_parity_batched_terrains(self):
+    """Per-world heights (batched terrain scenarios) through the fused patch
+    operand vs pipeline.step_batch(field_heights=...)."""
+    import jax as _jax
+    from raisimlib_tpu.utils import terrain
+
+    scene, field = self._hm_world(riser=False)
+    fused = pallas_step.make_step_batch_fused(scene, use_pd=False)
+    B = 4
+    s = self._hm_batch(scene, B)
+    tau = jnp.zeros((B, scene.model.nv), F32)
+    keys = _jax.random.split(_jax.random.PRNGKey(9), B)
+    hts = _jax.vmap(lambda k: terrain.generate(
+        k, terrain.TerrainProperties(z_scale=0.2, x_size=4.0, y_size=4.0,
+                                     x_samples=17, y_samples=17),
+        dtype=F32).heights)(keys)
+    sA = pipeline.step_batch(scene, s, tau, None, field_heights=hts)
+    sB = fused(s, tau, None, field_heights=hts)
+    np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u), atol=5e-4)
 
   def test_dyn_builder_auto_fallback(self):
     # make_contact_dyn_batch(fused="auto") on an ineligible scene still works
