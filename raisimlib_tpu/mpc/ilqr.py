@@ -31,9 +31,15 @@ class ILQRConfig:
   # dynamics-Jacobian path for ilqr_batch: "jvp" pushes basis tangents through
   # the differentiable pure-solver step (exact, slow to compile/run); "fd"
   # central-differences through the FAST kernel path — the whole derivative
-  # stack rides the megakernel's lane axis (round-5 verdict #3)
+  # stack rides the megakernel's lane axis (round-5 verdict #3). fd_eps is
+  # deliberately LARGE (2e-2): through the f32 hard-contact kernel, eps <=
+  # 3e-3 leaves difference noise ~1e-2/entry that the Riccati pass amplifies
+  # until the line search rejects every step (measured on the v5e: cost
+  # frozen at its initial value, reg ->1e1); eps in [1e-2, 5e-2] yields
+  # bundled/smoothed Jacobians that converge to within ~25% of the exact-jvp
+  # optimum on the ANYmal balance config (ilqr_fd_debug r5 A/B).
   deriv: str = struct.field(pytree_node=False, default="jvp")
-  fd_eps: float = struct.field(pytree_node=False, default=1e-3)
+  fd_eps: float = struct.field(pytree_node=False, default=2e-2)
   reg_init: float = 1e-6
   reg_min: float = 1e-9
   reg_max: float = 1e8

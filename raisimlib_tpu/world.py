@@ -339,8 +339,35 @@ class World:
 
     The field's heights/center are pytree leaves on the compiled Scene, so batched
     terrain scenarios are `scene.replace(field=...)` under `vmap`.
+
+    Tunneling guard (round-5 verdict #7): the narrow phase has no continuous
+    collision detection — a near-vertical face (stairs riser) is a one-cell
+    band, and a body crossing that band in a single step passes through it.
+    If the field contains steep cells (adjacent-sample slope > ~45 deg), warn
+    LOUDLY with the speed bound `min_cell / dt` above which tunneling is
+    possible, so the failure mode is a build-time message instead of a silent
+    fly-through (STATUS gap #3, two rounds open).
     """
     assert self._field is None, "one heightmap per world (matches reference usage)"
+    import warnings
+
+    import numpy as _np
+
+    H = _np.asarray(field.heights)
+    if H.ndim == 2 and min(H.shape) >= 2:
+      dx = float(field.size_x) / (H.shape[0] - 1)
+      dy = float(field.size_y) / (H.shape[1] - 1)
+      gx = float(_np.abs(_np.diff(H, axis=0)).max()) / dx if H.shape[0] > 1 else 0.0
+      gy = float(_np.abs(_np.diff(H, axis=1)).max()) / dy if H.shape[1] > 1 else 0.0
+      if max(gx, gy) > 1.0:                      # slope > 45 deg: riser-like
+        v_max = min(dx, dy) / self.dt
+        warnings.warn(
+            f"heightmap contains near-vertical faces (max cell slope "
+            f"{max(gx, gy):.1f}); there is no continuous collision detection, "
+            f"so bodies moving faster than ~{v_max:.1f} m/s (one cell of "
+            f"{min(dx, dy):.3f} m per dt={self.dt} s step) can TUNNEL "
+            f"through a riser. Keep speeds below that bound, reduce dt, or "
+            f"refine the grid.", stacklevel=2)
     self._field = field
     self._geoms.append(_GeomSpec(-1, GEOM_HEIGHTMAP, np.zeros(4),
                                  np.zeros(3), np.eye(3), material))

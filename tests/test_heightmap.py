@@ -227,3 +227,25 @@ class TestConeOnHeightmap:
     qf, uf = np.asarray(sf.q), np.asarray(sf.u)
     assert abs(qf[2] - 0.1) < 0.01, qf[:3]   # base ring on surface, COM at h/4
     assert np.abs(uf).max() < 0.05, uf
+
+
+def test_riser_tunneling_guard_warns():
+  """Round-5 verdict #7: a stairs-like field (cell slope > 45 deg) must warn
+  loudly at build time with the tunneling speed bound; gentle terrain must
+  not warn."""
+  import warnings
+
+  import pytest
+
+  stairs = terrain.stairs(step_width=0.4, step_height=0.3, size=(4.0, 4.0),
+                          samples=(33, 33))
+  w = World(dt=0.002)
+  with pytest.warns(UserWarning, match="TUNNEL"):
+    w.add_heightmap(stairs)
+
+  w2 = World(dt=0.002)
+  gentle = terrain.generate(jax.random.PRNGKey(0), terrain.TerrainProperties(
+      z_scale=0.05, x_size=8.0, y_size=8.0, x_samples=33, y_samples=33))
+  with warnings.catch_warnings():
+    warnings.simplefilter("error")
+    w2.add_heightmap(gentle)
