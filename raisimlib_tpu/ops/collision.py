@@ -720,8 +720,23 @@ def support_points(geoms: GeomTable, gi: int, kin, D: jnp.ndarray) -> jnp.ndarra
 def _feature_normals(geoms, gi, kin, d):
   """Candidate exact MTV directions from geom `gi`'s flat/axial features,
   oriented along d: box face axes, cylinder/cone cap + radial directions,
-  capsule radial. Spheres/meshes contribute none."""
+  capsule radial, mesh supporting-face normals. Spheres contribute none."""
   gt = geoms.gtype[gi]
+  if gt == GEOM_MESH:
+    # the supporting FACE's normal (round-5 verdict #6): for a face-on
+    # contact the 3 most-extreme hull verts along d lie on that face, so
+    # the plane through them is the face and its normal is the exact MTV.
+    # Vertex/edge contacts make the cross degenerate or the plane tilted —
+    # either way the candidate just loses the h(d) comparison in
+    # _support_pair (candidates are only ever KEPT if they lower h).
+    V = _mesh_world_verts(geoms, gi, kin)
+    mask = jnp.asarray(_vert_mask(geoms, gi, V.dtype))
+    dots = jnp.where(mask, V @ d, -jnp.inf)
+    _, top_i = jax.lax.top_k(dots, 3)
+    v1, v2, v3 = V[top_i[0]], V[top_i[1]], V[top_i[2]]
+    nf = jnp.cross(v2 - v1, v3 - v1)
+    nf = nf / jnp.sqrt(jnp.sum(nf * nf) + 1e-18)
+    return [nf * jnp.sign(jnp.dot(nf, d) + 1e-30)]
   R, _ = _geom_pose(geoms, gi, kin)
   dl = d @ R
   out = []
@@ -798,7 +813,9 @@ def _support_pair(geoms, ia, ib, kin):
   # the Baumgarte bias converts into launch velocities (a resting capsule
   # rattled at ~1 rad/s). For flat/axis features the true MTV is exactly a
   # face/cap/radial normal — evaluate h there and keep the best, making the
-  # depth EXACT for every primitive-feature contact (mesh stays sampled).
+  # depth EXACT for every primitive-feature contact AND (round 5) for mesh
+  # supporting-face contacts via the top-3-vertex face-plane candidate;
+  # only the build-time 32-vertex hull subsample remains approximate.
   cands = (_feature_normals(geoms, ia, kin, d)
            + [-c for c in _feature_normals(geoms, ib, kin, -d)])
   if cands:
