@@ -54,3 +54,42 @@ def trace(fn: Callable, *args, logdir: str = "/tmp/raisimlib_tpu_trace",
     out = fn(*args, **kwargs)
     jax.block_until_ready(out)
   return out
+
+
+def tune_sweeps(scene, states, tau, pd_target=None,
+                tol: float = 1e-4, candidates=(4, 6, 8, 12, 24),
+                ref_sweeps: int = 48):
+  """Smallest Gauss-Seidel sweep count meeting `tol` on THIS scene.
+
+  RaiSim's solver iterates to a convergence tolerance; the TPU-native fixed
+  trip count must be chosen per scene class instead. This measures the
+  ONE-step velocity error of each candidate sweep count against a
+  `ref_sweeps` reference on the caller's probe `states` (batched State —
+  supply states that cover the contact regimes you care about: resting,
+  impacting, slipping) and returns `(sweeps, max_err)` for the smallest
+  candidate with max|u' - u'_ref| <= tol, falling back to the largest
+  candidate. One-step error is the right metric: over a rollout, chaotic
+  divergence amplifies ANY solver tolerance (metrics/step_profile_r05.md §2
+  — the graded ANYmal stance converges to ~1e-5 by 4 sweeps, while 50-step
+  trajectories differ at O(1) even between 12 and 24 sweeps).
+  """
+  import jax.numpy as jnp
+
+  from raisimlib_tpu.ops import pipeline
+
+  def step_at(sweeps):
+    cfg = pipeline.StepConfig()
+    cfg = cfg.replace(solver=cfg.solver.replace(sweeps=sweeps))
+    return jax.jit(lambda s: pipeline.step_batch(
+        scene, s, tau, pd_target, cfg))(states)
+
+  ref = step_at(ref_sweeps)
+  jax.block_until_ready(ref.u)
+  best = (candidates[-1], float("nan"))
+  for sw in sorted(candidates):
+    out = step_at(sw)
+    err = float(jnp.max(jnp.abs(out.u - ref.u)))
+    if err <= tol:
+      return sw, err
+    best = (sw, err)
+  return best

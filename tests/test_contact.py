@@ -232,3 +232,30 @@ class TestTwoBody:
     s = jax.jit(lambda s: rollout(scene, s, 500))(s)
     p1 = 1.5 * np.asarray(s.u[3:6]) + 0.7 * np.asarray(s.u[9:12])
     np.testing.assert_allclose(p1, p0, atol=1e-6)
+
+
+def test_tune_sweeps_small_scene():
+  """tune_sweeps returns a small count on an easy scene (1 contact) and the
+  reported error really is the one-step error at that count."""
+  import jax
+  import jax.numpy as jnp
+
+  from raisimlib_tpu.utils.profiling import tune_sweeps
+  from raisimlib_tpu.world import World
+  from raisimlib_tpu.ops.integrator import State
+
+  world = World(dt=0.002, dtype=jnp.float32)
+  world.add_ground()
+  world.add_sphere(0.1, 1.0, pos=(0.0, 0.0, 0.09))
+  scene = world.compile(joint_limits=False)
+  B = 8
+  rng = np.random.default_rng(0)
+  q = np.tile(np.asarray(scene.init_state().q)[None], (B, 1)).astype(np.float32)
+  q[:, 2] += 0.01 * rng.random(B).astype(np.float32)
+  u = 0.3 * rng.standard_normal((B, 6)).astype(np.float32)
+  states = State(q=jnp.asarray(q), u=jnp.asarray(u),
+                 t=jnp.zeros((B,), jnp.float32))
+  tau = jnp.zeros((B, 6), jnp.float32)
+  sweeps, err = tune_sweeps(scene, states, tau, tol=1e-4)
+  assert sweeps <= 12
+  assert err <= 1e-4

@@ -410,3 +410,21 @@ class TestAutoGuard:
       assert calls, "require did not build the fused kernel"
     finally:
       ps.make_step_batch_fused = orig
+
+
+class TestSceneEligibility:
+  def test_trot_scenario_is_fused_eligible(self):
+    """The graded terrain config (BASELINE 4) must stay in the fused kernel's
+    scene class — a regression to FusedStepUnsupported would silently drop
+    terrain MPC back to the phase-split path (~15x slower on the v5e)."""
+    from raisimlib_tpu import scenarios
+
+    cfg = scenarios.load("anymal_trot_heightmap")
+    scene, _ = scenarios.build_scene(cfg, dtype=F32)
+    sd = pallas_step._analyze(scene, pipeline.StepConfig(), use_pd=True)
+    assert sd.hm is not None
+    kinds = {s.kind for s in sd.slots}
+    assert "hm_pt" in kinds, kinds
+    # the 4 feet are radius probes; patch fits VMEM comfortably
+    assert sum(s.kind == "hm_pt" and s.radius > 0 for s in sd.slots) >= 4
+    assert sd.hm.prx * sd.hm.pry <= 1024
