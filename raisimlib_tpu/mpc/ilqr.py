@@ -40,6 +40,10 @@ class ILQRConfig:
   # optimum on the ANYmal balance config (ilqr_fd_debug r5 A/B).
   deriv: str = struct.field(pytree_node=False, default="jvp")
   fd_eps: float = struct.field(pytree_node=False, default=2e-2)
+  # 2 = central differences (2*(nx+nu) evals/row, default); 1 = forward
+  # differences (nx+nu+1 evals/row — ~2x cheaper Jacobian stacks, one
+  # O(eps) truncation order worse; fine in the bundled-eps regime)
+  fd_order: int = struct.field(pytree_node=False, default=2)
   reg_init: float = 1e-6
   reg_min: float = 1e-9
   reg_max: float = 1e8
@@ -232,7 +236,7 @@ def batched_dyn_jacobians(dyn_diff, X, U, t=0):
   return jnp.transpose(fx, (1, 2, 0)), jnp.transpose(fu, (1, 2, 0))
 
 
-def batched_dyn_jacobians_fd(dyn_fast, X, U, t=0, eps=1e-3):
+def batched_dyn_jacobians_fd(dyn_fast, X, U, t=0, eps=1e-3, order=2):
   """Per-row Jacobians (fx, fu) by CENTRAL DIFFERENCES through the fast path.
 
   Where `batched_dyn_jacobians` needs a forward-differentiable dynamics (the
@@ -245,7 +249,8 @@ def batched_dyn_jacobians_fd(dyn_fast, X, U, t=0, eps=1e-3):
   line-searched Newton-type method absorbs; at contact-mode boundaries the
   eps-window even yields a bundled (smoothed) Jacobian where the exact one
   is one-sided. `dyn_fast` must be time-invariant in t (the whole (E*H) row
-  batch shares one t), like the jvp path."""
+  batch shares one t), like the jvp path. `order` 2 = central (default),
+  1 = forward differences (half the evals, O(eps) truncation)."""
   B, nx = X.shape
   nu = U.shape[1]
   nd = nx + nu
@@ -256,11 +261,17 @@ def batched_dyn_jacobians_fd(dyn_fast, X, U, t=0, eps=1e-3):
       [jnp.zeros((nx, nu), dtype), jnp.eye(nu, dtype=dtype) * eps], axis=0)
   Xp = (X[None] + dX[:, None]).reshape(nd * B, nx)
   Up = (U[None] + dU[:, None]).reshape(nd * B, nu)
-  Xm = (X[None] - dX[:, None]).reshape(nd * B, nx)
-  Um = (U[None] - dU[:, None]).reshape(nd * B, nu)
-  Y = dyn_fast(jnp.concatenate([Xp, Xm], axis=0),
-               jnp.concatenate([Up, Um], axis=0), t)
-  J = (Y[:nd * B] - Y[nd * B:]).reshape(nd, B, nx) / (2.0 * eps)
+  if order == 2:
+    Xm = (X[None] - dX[:, None]).reshape(nd * B, nx)
+    Um = (U[None] - dU[:, None]).reshape(nd * B, nu)
+    Y = dyn_fast(jnp.concatenate([Xp, Xm], axis=0),
+                 jnp.concatenate([Up, Um], axis=0), t)
+    J = (Y[:nd * B] - Y[nd * B:]).reshape(nd, B, nx) / (2.0 * eps)
+  else:
+    assert order == 1, order
+    Y = dyn_fast(jnp.concatenate([Xp, X], axis=0),
+                 jnp.concatenate([Up, U], axis=0), t)
+    J = (Y[:nd * B].reshape(nd, B, nx) - Y[nd * B:][None]) / eps
   return jnp.transpose(J[:nx], (1, 2, 0)), jnp.transpose(J[nx:], (1, 2, 0))
 
 
@@ -397,7 +408,8 @@ def ilqr_batch(
     Xf = X[:, :-1].reshape(E * H, nx)
     Uf = U.reshape(E * H, nu)
     if use_fd:
-      fx, fu = batched_dyn_jacobians_fd(dyn_fast, Xf, Uf, 0, config.fd_eps)
+      fx, fu = batched_dyn_jacobians_fd(dyn_fast, Xf, Uf, 0, config.fd_eps,
+                                        config.fd_order)
     else:
       fx, fu = batched_dyn_jacobians(dyn_diff, Xf, Uf, 0)
     fx = fx.reshape(E, H, nx, nx)

@@ -142,3 +142,18 @@ def test_fd_jacobians_contact_scene_close_to_jvp():
   fx_jv, fu_jv = batched_dyn_jacobians(dyn_d2, X, U, 0)
   np.testing.assert_allclose(np.asarray(fx_fd), np.asarray(fx_jv), atol=2e-2)
   np.testing.assert_allclose(np.asarray(fu_fd), np.asarray(fu_jv), atol=2e-2)
+
+
+def test_fd_order1_jacobians_match():
+  from raisimlib_tpu.mpc.ilqr import batched_dyn_jacobians_fd
+
+  key = jax.random.PRNGKey(4)
+  X = jax.random.normal(key, (5, 2), jnp.float64)
+  U = jax.random.normal(jax.random.fold_in(key, 1), (5, 1), jnp.float64)
+  fx1, fu1 = batched_dyn_jacobians_fd(dyn_b, X, U, 0, eps=1e-6, order=1)
+  fx_ref = jax.vmap(jax.jacfwd(dyn_one_nl, argnums=0),
+                    in_axes=(0, 0, None))(X, U, 0)
+  fu_ref = jax.vmap(jax.jacfwd(dyn_one_nl, argnums=1),
+                    in_axes=(0, 0, None))(X, U, 0)
+  np.testing.assert_allclose(np.asarray(fx1), np.asarray(fx_ref), atol=1e-5)
+  np.testing.assert_allclose(np.asarray(fu1), np.asarray(fu_ref), atol=1e-5)
