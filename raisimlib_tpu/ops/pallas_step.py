@@ -29,10 +29,11 @@ and callers fall back to ops/pipeline.step_batch):
   * joints: FREE roots, REVOLUTE, PRISMATIC, SPHERICAL
   * contacts vs plane: sphere, capsule (2 endpoint spheres), box (8 corners)
   * contacts vs heightmap (round 5): sphere, capsule endpoints (radius
-    probes with the full riser march of ops/heightmap._point_contact) and
-    box corners (point probes) — the in-kernel surface gather reads a
-    base-centered terrain patch operand (see _HmStatic); cylinder/mesh/
-    cone-vs-heightmap -> fallback
+    probes with the full riser march of ops/heightmap._point_contact),
+    box corners, cylinder downhill-rim points, and cone apex/base-rim
+    points — the in-kernel surface gather reads one root-centered terrain
+    patch operand per FREE root (see _HmStatic); mesh-vs-heightmap ->
+    fallback (its top-4-of-32 probe selection doesn't lower well)
   * runtime-frame pairs: sphere-sphere, sphere-box, sphere-capsule
   * constraint rows: joint limits (wires/pins/compliant -> fallback)
   * no external wrenches, f32 only
@@ -352,8 +353,9 @@ class _HmStatic(NamedTuple):
   dy: float
   x_min: float          # world x of heights[0, :] (static field center)
   y_min: float
-  root_q: int           # q index of the patch-centering FREE root's x coord
-  reach: float          # static bound: max feature distance from root (m)
+  root_qs: tuple        # q index of each patch-centering FREE root's x coord
+  roots: tuple          # body index of each FREE root with field contacts
+  reach: float          # static bound: max feature distance from a root (m)
 
 
 class _StaticData(NamedTuple):
@@ -471,14 +473,19 @@ def _analyze_field(scene, field, geoms) -> _HmStatic:
       ext += float(pa[1]) + 2.0 * float(pa[0])
     elif t == coll.GEOM_BOX:
       ext += float(np.linalg.norm(pa[:3]))
+    elif t == coll.GEOM_CYLINDER:
+      ext += float(np.hypot(pa[0], pa[1]))
+    elif t == coll.GEOM_CONE:
+      ext += max(0.75 * float(pa[1]),
+                 float(np.hypot(pa[0], 0.25 * pa[1])))
     else:
       raise FusedStepUnsupported(
-          f"geom type {t} vs heightmap (fused path: sphere/capsule/box only)")
+          f"geom type {t} vs heightmap (fused path: no mesh probes)")
     reach = max(reach, _chain_reach(model, b, r, tabs) + ext)
-  if len(roots) != 1:
-    raise FusedStepUnsupported(
-        f"heightmap-colliding geoms span {len(roots)} FREE roots (need 1)")
-  root = roots.pop()
+  if not roots:
+    raise FusedStepUnsupported("heightmap present but no colliding pairs")
+  roots = tuple(sorted(roots))    # ONE patch per FREE root (multi-object
+  # terrain scenes: each loose body / robot centers its own patch)
 
   # patch size: the probe cell +-(reach/d) cells around the root cell, plus
   # 1 cell of gather neighborhood and 2 of floor/clamp slack each side
@@ -486,7 +493,8 @@ def _analyze_field(scene, field, geoms) -> _HmStatic:
   pry = min(2 * (int(np.ceil(reach / dy)) + 3) + 2, ny)
   return _HmStatic(prx=prx, pry=pry, nx=nx, ny=ny, dx=dx, dy=dy,
                    x_min=x_min, y_min=y_min,
-                   root_q=int(model.q_adr[root]), reach=float(reach))
+                   root_qs=tuple(int(model.q_adr[r]) for r in roots),
+                   roots=roots, reach=float(reach))
 
 
 def _analyze(scene, config, use_pd: bool) -> _StaticData:
@@ -546,6 +554,25 @@ def _analyze(scene, config, use_pd: bool) -> _StaticData:
           for sy in (-1.0, 1.0):
             for sz in (-1.0, 1.0):
               hm_pt(ba, oa + ra_ @ (he * np.array([sx, sy, sz])), 0.0)
+      elif ta == coll.GEOM_CYLINDER:
+        # 6 downhill-frame rim points (r=0 probes at RUNTIME offsets) —
+        # mirror heightmap._cylinder_hm's sample order exactly
+        r_, hl = float(pa[0]), float(pa[1])
+        for s_ in (-1.0, 1.0):
+          for phi in (0.0, 2.0943951, -2.0943951):
+            slots.append(_Slot("hm_cylpt", ba, -1, (s_, phi, 0.0), 0.0, 0.0,
+                               0.0, (r_, hl, 0.0), _np_v(oa), _np_m(ra_),
+                               mu, e, th))
+      elif ta == coll.GEOM_CONE:
+        # apex + 3 base-rim points — mirror heightmap._cone_hm
+        r_, hc = float(pa[0]), float(pa[1])
+        slots.append(_Slot("hm_conept", ba, -1, (0.0, 0.0, 0.0), 0.0, 0.0,
+                           0.0, (r_, hc, 0.0), _np_v(oa), _np_m(ra_),
+                           mu, e, th))
+        for phi in (0.0, 2.0943951, -2.0943951):
+          slots.append(_Slot("hm_conept", ba, -1, (1.0, phi, 0.0), 0.0, 0.0,
+                             0.0, (r_, hc, 0.0), _np_v(oa), _np_m(ra_),
+                             mu, e, th))
       else:
         raise FusedStepUnsupported(f"geom type {ta} vs heightmap")
     elif tb == coll.GEOM_PLANE:
@@ -972,8 +999,17 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, *refs, sd: _StaticData,
   u = [u_ref[i] for i in range(nv)]
   if sd.hm is not None:
     npatch = sd.hm.prx * sd.hm.pry
-    hm_P = [hm_ref[k] for k in range(npatch)]
-    hm_ox, hm_oy = hm_ref[npatch], hm_ref[npatch + 1]
+    nroots = len(sd.hm.roots)
+    hm_P = {r: [hm_ref[ri * npatch + k] for k in range(npatch)]
+            for ri, r in enumerate(sd.hm.roots)}
+    hm_org = {r: (hm_ref[nroots * npatch + 2 * ri],
+                  hm_ref[nroots * npatch + 2 * ri + 1])
+              for ri, r in enumerate(sd.hm.roots)}
+
+    def hm_root_of(b):
+      while sd.parent[b] >= 0:
+        b = sd.parent[b]
+      return b
 
   # ---- A. actuation: feedforward + implicit PD, clamp (mirror _assemble_rows)
   tau = [0.0] * nv
@@ -1026,6 +1062,7 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, *refs, sd: _StaticData,
     t1 = _vscale(inv, t1)
     return t1, _cross(n, t1)
 
+  hm_frames = {}    # (body, b_pos, b_rot, he) -> shared downhill probe frame
   for s_i, slot in enumerate(sd.slots):
     ba = slot.body_a
     Ra, pa_ = _body_pose(ba)
@@ -1039,8 +1076,51 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, *refs, sd: _StaticData,
       t1, t2, nrm = (0.0, 1.0, 0.0), (-1.0, 0.0, 0.0), (0.0, 0.0, 1.0)
       cmap = {j: 1.0 for j in sd.anc_dofs[ba]}
     elif slot.kind == "hm_pt":
+      rt = hm_root_of(ba)
       pos, nrm, depth, valid = _emit_hm_probe(
-          sd.hm, hm_P, hm_ox, hm_oy, ca, slot.radius, S, dtype)
+          sd.hm, hm_P[rt], *hm_org[rt], ca, slot.radius, S, dtype)
+      t1, t2 = _runtime_frame(nrm)
+      cmap = {j: 1.0 for j in sd.anc_dofs[ba]}
+    elif slot.kind in ("hm_cylpt", "hm_conept"):
+      # runtime downhill-frame rim/apex probes — exact scalar port of
+      # heightmap._cylinder_hm / _cone_hm; the (u, w, axis) frame is shared
+      # by a geom's 6 (resp. 4) slots via the cache
+      key = (ba, slot.b_pos, slot.b_rot, slot.he)
+      if key not in hm_frames:
+        Rg = _mm(Ra, slot.b_rot)
+        pg = _vadd(pa_, _mv(Ra, slot.b_pos))
+        aax = tuple(Rg[k][2] for k in range(3))
+        a2 = aax[2]
+        radial = (_neg(_mul(a2, aax[0])), _neg(_mul(a2, aax[1])),
+                  _sub(1.0, _mul(a2, a2)))
+        rn = jnp.sqrt(_asvec(_add(*[_mul(c, c) for c in radial]), S, dtype))
+        degen = rn < 1e-6
+        denom = jnp.where(degen, 1.0, rn)
+        u0 = tuple(jnp.where(degen, _asvec(Rg[k][0], S, dtype),
+                             _asvec(_neg(radial[k]), S, dtype) / denom)
+                   for k in range(3))
+        un = jnp.sqrt(_add(*[_mul(c, c) for c in u0]) + 1e-18)
+        uu = tuple(u0[k] / un for k in range(3))
+        hm_frames[key] = (pg, aax, uu, _cross(aax, uu))
+      pg, aax, uu, ww = hm_frames[key]
+      rg, hg = slot.he[0], slot.he[1]
+      if slot.kind == "hm_cylpt":
+        s_sign, phi = slot.local[0], slot.local[1]
+        cc = _vadd(pg, _vscale(s_sign * hg, aax))
+        dvec = _vadd(_vscale(float(np.cos(phi)), uu),
+                     _vscale(float(np.sin(phi)), ww))
+        pt = _vadd(cc, _vscale(rg, dvec))
+      elif slot.local[0] == 0.0:                       # cone apex
+        pt = _vadd(pg, _vscale(0.75 * hg, aax))
+      else:                                            # cone base rim
+        phi = slot.local[1]
+        base_c = _vadd(pg, _vscale(-0.25 * hg, aax))
+        dvec = _vadd(_vscale(float(np.cos(phi)), uu),
+                     _vscale(float(np.sin(phi)), ww))
+        pt = _vadd(base_c, _vscale(rg, dvec))
+      rt = hm_root_of(ba)
+      pos, nrm, depth, valid = _emit_hm_probe(
+          sd.hm, hm_P[rt], *hm_org[rt], pt, 0.0, S, dtype)
       t1, t2 = _runtime_frame(nrm)
       cmap = {j: 1.0 for j in sd.anc_dofs[ba]}
     elif slot.kind in ("ss", "sc"):
@@ -1350,7 +1430,8 @@ def build_fused_step_lane(scene, config=None, use_pd: bool = True,
   S = (pack, tile) if pack > 1 else (tile,)
   zeros = (0,) * len(S)
 
-  nhmp = _pad8(sd.hm.prx * sd.hm.pry + 2) if sd.hm is not None else 0
+  nhmp = (_pad8(len(sd.hm.roots) * (sd.hm.prx * sd.hm.pry + 2))
+          if sd.hm is not None else 0)
 
   def step_lane(qT, uT, tauT, pdT, hmT=None):
     # qT etc: (nrows,) + (pack, L) or (L,) with L a multiple of tile;
@@ -1417,36 +1498,42 @@ def make_step_batch_fused(scene, config=None, use_pd: bool = True,
   dt = sd.dt
   chunk = pack * tile
   hm = sd.hm
-  nhmp = _pad8(hm.prx * hm.pry + 2) if hm is not None else 0
+  nhmp = (_pad8(len(hm.roots) * (hm.prx * hm.pry + 2))
+          if hm is not None else 0)
 
   def extract_patch(qb, heights):
-    """(B, nq), (B, nx, ny) -> (B, prx*pry + 2) patch rows + origin.
+    """(B, nq), (B, nx, ny) -> (B, n_roots*prx*pry + 2*n_roots): one
+    root-centered patch per FREE root with field contacts, then the
+    (ox, oy) origin pairs.
 
-    The slice runs as TWO one-hot batched matmuls instead of a vmapped
+    Each slice runs as TWO one-hot batched matmuls instead of a vmapped
     dynamic_slice: B per-world 2-D gathers lower to lax.gather, which
     measured ~6.5k rollouts/s ALONE on the v5e (terrain_prof r5) — 16x
     slower than the entire fused physics step. One-hot selection rides the
     MXU (0/1 weights select exactly in the f32-matmul regime the package
-    pins) at ~30k MACs/world, which is noise next to the step."""
+    pins) at ~30k MACs/world/root, which is noise next to the step."""
     B = qb.shape[0]
     dtype = qb.dtype
-    fx = (qb[:, hm.root_q] - hm.x_min) / hm.dx
-    fy = (qb[:, hm.root_q + 1] - hm.y_min) / hm.dy
-    i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32) - (hm.prx // 2 - 1),
-                  0, hm.nx - hm.prx)
-    j0 = jnp.clip(jnp.floor(fy).astype(jnp.int32) - (hm.pry // 2 - 1),
-                  0, hm.ny - hm.pry)
-    i_idx = i0[:, None] + jnp.arange(hm.prx, dtype=jnp.int32)[None]
-    j_idx = j0[:, None] + jnp.arange(hm.pry, dtype=jnp.int32)[None]
-    ohx = (i_idx[:, :, None]
-           == jnp.arange(hm.nx, dtype=jnp.int32)[None, None]).astype(dtype)
-    ohy = (j_idx[:, :, None]
-           == jnp.arange(hm.ny, dtype=jnp.int32)[None, None]).astype(dtype)
-    rows = jnp.einsum("bpn,bnm->bpm", ohx, heights)      # (B, prx, ny)
-    patch = jnp.einsum("bpm,bqm->bpq", rows, ohy)        # (B, prx, pry)
-    ox = (hm.x_min + i0.astype(dtype) * hm.dx)[:, None]
-    oy = (hm.y_min + j0.astype(dtype) * hm.dy)[:, None]
-    return jnp.concatenate([patch.reshape(B, -1), ox, oy], axis=1)
+    patches, origins = [], []
+    for rq in hm.root_qs:
+      fx = (qb[:, rq] - hm.x_min) / hm.dx
+      fy = (qb[:, rq + 1] - hm.y_min) / hm.dy
+      i0 = jnp.clip(jnp.floor(fx).astype(jnp.int32) - (hm.prx // 2 - 1),
+                    0, hm.nx - hm.prx)
+      j0 = jnp.clip(jnp.floor(fy).astype(jnp.int32) - (hm.pry // 2 - 1),
+                    0, hm.ny - hm.pry)
+      i_idx = i0[:, None] + jnp.arange(hm.prx, dtype=jnp.int32)[None]
+      j_idx = j0[:, None] + jnp.arange(hm.pry, dtype=jnp.int32)[None]
+      ohx = (i_idx[:, :, None]
+             == jnp.arange(hm.nx, dtype=jnp.int32)[None, None]).astype(dtype)
+      ohy = (j_idx[:, :, None]
+             == jnp.arange(hm.ny, dtype=jnp.int32)[None, None]).astype(dtype)
+      rows = jnp.einsum("bpn,bnm->bpm", ohx, heights)    # (B, prx, ny)
+      patch = jnp.einsum("bpm,bqm->bpq", rows, ohy)      # (B, prx, pry)
+      patches.append(patch.reshape(B, -1))
+      origins.append((hm.x_min + i0.astype(dtype) * hm.dx)[:, None])
+      origins.append((hm.y_min + j0.astype(dtype) * hm.dy)[:, None])
+    return jnp.concatenate(patches + origins, axis=1)
 
   def to_lane(x, nrow):
     xT = jnp.transpose(x, (1, 0))

@@ -428,3 +428,96 @@ class TestSceneEligibility:
     # the 4 feet are radius probes; patch fits VMEM comfortably
     assert sum(s.kind == "hm_pt" and s.radius > 0 for s in sd.slots) >= 4
     assert sd.hm.prx * sd.hm.pry <= 1024
+
+
+class TestHeightmapCylCone:
+  def test_cylinder_cone_heightmap_parity(self):
+    """Round-5 widening: cylinder (6 rim probes) and cone (apex + 3 rim)
+    vs heightmap run IN-KERNEL with the runtime downhill frame — parity
+    with the phase-split path on bumpy terrain."""
+    import jax as _jax
+    from raisimlib_tpu.utils import terrain
+
+    from raisimlib_tpu.ops import pallas_step as ps
+
+    field = terrain.generate(
+        _jax.random.PRNGKey(5),
+        terrain.TerrainProperties(z_scale=0.2, x_size=4.0, y_size=4.0,
+                                  x_samples=17, y_samples=17),
+        dtype=F32)
+
+    for geom, kind, nslots in (("cyl", "hm_cylpt", 6), ("cone", "hm_conept",
+                                                        4)):
+      world = World(dt=0.002, dtype=F32)
+      world.add_heightmap(field)
+      if geom == "cyl":
+        world.add_cylinder(0.1, 0.15, 1.0, pos=(0.3, 0.1, 0.45))
+      else:
+        world.add_cone(0.12, 0.2, 1.0, pos=(-0.4, -0.2, 0.5))
+      scene = world.compile(joint_limits=False)
+      sd = ps._analyze(scene, pipeline.StepConfig(), use_pd=False)
+      assert [s.kind for s in sd.slots].count(kind) == nslots
+
+      fused = ps.make_step_batch_fused(scene, use_pd=False)
+      B = 4
+      rng = np.random.RandomState(1)
+      s0 = scene.init_state()
+      qs = np.tile(np.asarray(s0.q)[None], (B, 1)).astype(np.float32)
+      # tilt so the downhill frame is generic (non-degenerate)
+      qs[:, 3:7] += 0.3 * rng.randn(B, 4).astype(np.float32)
+      qs[:, 3:7] /= np.linalg.norm(qs[:, 3:7], axis=1, keepdims=True)
+      us = 0.4 * rng.randn(B, scene.model.nv).astype(np.float32)
+      s = s0.__class__(q=jnp.asarray(qs), u=jnp.asarray(us),
+                       t=jnp.zeros((B,), F32))
+      tau = jnp.zeros((B, scene.model.nv), F32)
+
+      def roll(stepfn, st, n=4):
+        for _ in range(n):
+          st = stepfn(st)
+        return st
+
+      sA = roll(lambda st: pipeline.step_batch(scene, st, tau, None), s)
+      sB = roll(lambda st: fused(st, tau, None), s)
+      np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q),
+                                 atol=1e-5)
+      np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u),
+                                 atol=1e-3)
+
+  def test_two_roots_share_field(self):
+    """Two independent spheres on one terrain: one patch per FREE root
+    (round-5 multi-root generalization)."""
+    import jax as _jax
+    from raisimlib_tpu.ops import pallas_step as ps
+    from raisimlib_tpu.utils import terrain
+
+    field = terrain.generate(
+        _jax.random.PRNGKey(6),
+        terrain.TerrainProperties(z_scale=0.15, x_size=4.0, y_size=4.0,
+                                  x_samples=17, y_samples=17),
+        dtype=F32)
+    world = World(dt=0.002, dtype=F32)
+    world.add_heightmap(field)
+    world.add_sphere(0.1, 1.0, pos=(0.8, 0.4, 0.45), name="s1")
+    world.add_sphere(0.08, 0.5, pos=(-0.9, -0.5, 0.4), name="s2")
+    scene = world.compile(joint_limits=False)
+    sd = ps._analyze(scene, pipeline.StepConfig(), use_pd=False)
+    assert len(sd.hm.roots) == 2
+
+    fused = ps.make_step_batch_fused(scene, use_pd=False)
+    B = 3
+    rng = np.random.RandomState(2)
+    s0 = scene.init_state()
+    qs = np.tile(np.asarray(s0.q)[None], (B, 1)).astype(np.float32)
+    qs[:, :3] += 0.05 * rng.randn(B, 3).astype(np.float32)
+    qs[:, 7:10] += 0.05 * rng.randn(B, 3).astype(np.float32)
+    us = 0.5 * rng.randn(B, scene.model.nv).astype(np.float32)
+    s = s0.__class__(q=jnp.asarray(qs), u=jnp.asarray(us),
+                     t=jnp.zeros((B,), F32))
+    tau = jnp.zeros((B, scene.model.nv), F32)
+    sA = s
+    sB = s
+    for _ in range(4):
+      sA = pipeline.step_batch(scene, sA, tau, None)
+      sB = fused(sB, tau, None)
+    np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u), atol=1e-3)
