@@ -143,12 +143,15 @@ class TestEligibility:
     assert len(sd.limits) == 12
 
   def test_heightmap_unsupported_geom_falls_back(self):
-    # cylinder-vs-heightmap is outside the fused class -> clean fallback
+    # mesh-vs-heightmap is outside the fused class (top-4-of-32 probe
+    # selection) -> clean fallback; cylinders/cones joined the class in r5
     from raisimlib_tpu.utils import terrain
 
+    cube = np.array([[sx, sy, sz] for sx in (-0.1, 0.1)
+                     for sy in (-0.1, 0.1) for sz in (-0.1, 0.1)])
     world = World(dt=0.002, dtype=F32)
     world.add_heightmap(terrain.flat(0.0))
-    world.add_cylinder(0.1, 0.2, 1.0, pos=(0, 0, 0.5))
+    world.add_mesh(cube, 1.0, pos=(0, 0, 0.5))
     scene = world.compile(joint_limits=False)
     with pytest.raises(pallas_step.FusedStepUnsupported):
       pallas_step.make_step_batch_fused(scene, use_pd=False)
