@@ -28,12 +28,12 @@ Scope (checked by `_analyze`; unsupported scenes raise FusedStepUnsupported
 and callers fall back to ops/pipeline.step_batch):
   * joints: FREE roots, REVOLUTE, PRISMATIC, SPHERICAL
   * contacts vs plane: sphere, capsule (2 endpoint spheres), box (8 corners)
-  * contacts vs heightmap (round 5): sphere, capsule endpoints (radius
-    probes with the full riser march of ops/heightmap._point_contact),
-    box corners, cylinder downhill-rim points, and cone apex/base-rim
-    points — the in-kernel surface gather reads one root-centered terrain
-    patch operand per FREE root (see _HmStatic); mesh-vs-heightmap ->
-    fallback (its top-4-of-32 probe selection doesn't lower well)
+  * contacts vs heightmap (round 5): the COMPLETE geom family — sphere,
+    capsule endpoints (radius probes with the full riser march of
+    ops/heightmap._point_contact), box corners, cylinder downhill-rim
+    points, cone apex/base-rim points, and mesh hull vertices (all probes
+    + in-kernel top-4 selection); the surface gather reads one
+    root-centered terrain patch operand per FREE root (see _HmStatic)
   * runtime-frame pairs: sphere-sphere, sphere-box, sphere-capsule
   * constraint rows: joint limits (wires/pins/compliant -> fallback)
   * no external wrenches, f32 only
@@ -398,6 +398,9 @@ class _StaticData(NamedTuple):
   n_wrows: int          # solver rows needing W (3*ncone + nlim)
   nrp: int              # padded solve-RHS column count (n_wrows + 1 for vf)
   hm: Any = None        # _HmStatic when the scene has a heightmap field
+  # per mesh-vs-heightmap geom: (body, verts ((n,3) static), vcount) —
+  # the "hm_mesh" slots reference entries here by index (slot.local[0])
+  hm_meshes: tuple = ()
 
 
 def _chain_reach(model, body: int, root: int, tabs) -> float:
@@ -478,9 +481,12 @@ def _analyze_field(scene, field, geoms) -> _HmStatic:
     elif t == coll.GEOM_CONE:
       ext += max(0.75 * float(pa[1]),
                  float(np.hypot(pa[0], 0.25 * pa[1])))
+    elif t == coll.GEOM_MESH:
+      vc = int(geoms.mesh_vcount[gi])
+      V = np.asarray(geoms.mesh_verts)[gi][:vc]   # geom offset baked in
+      ext = float(np.linalg.norm(V, axis=1).max())
     else:
-      raise FusedStepUnsupported(
-          f"geom type {t} vs heightmap (fused path: no mesh probes)")
+      raise FusedStepUnsupported(f"geom type {t} vs heightmap")
     reach = max(reach, _chain_reach(model, b, r, tabs) + ext)
   if not roots:
     raise FusedStepUnsupported("heightmap present but no colliding pairs")
@@ -519,6 +525,7 @@ def _analyze(scene, config, use_pd: bool) -> _StaticData:
     hm = _analyze_field(scene, field, geoms)
 
   slots = []
+  hm_meshes = []
   _Z = (0.0, 0.0, 0.0)
   _ID = _np_m(np.eye(3))
   for ia, ib in scene.pairs:
@@ -573,6 +580,17 @@ def _analyze(scene, config, use_pd: bool) -> _StaticData:
           slots.append(_Slot("hm_conept", ba, -1, (1.0, phi, 0.0), 0.0, 0.0,
                              0.0, (r_, hc, 0.0), _np_v(oa), _np_m(ra_),
                              mu, e, th))
+      elif ta == coll.GEOM_MESH:
+        # 4 deepest of the (<= 32) hull-vertex probes, selected IN-KERNEL —
+        # mirror heightmap._mesh_hm (vertex probes, lax.top_k(4) order)
+        vcount = int(geoms.mesh_vcount[ia])
+        mverts = tuple(_np_v(v)
+                       for v in np.asarray(geoms.mesh_verts)[ia][:vcount])
+        mi = len(hm_meshes)
+        hm_meshes.append((ba, mverts, vcount))
+        for k in range(4):
+          slots.append(_Slot("hm_mesh", ba, -1, (float(mi), float(k), 0.0),
+                             0.0, 0.0, 0.0, _Z, _Z, _ID, mu, e, th))
       else:
         raise FusedStepUnsupported(f"geom type {ta} vs heightmap")
     elif tb == coll.GEOM_PLANE:
@@ -664,7 +682,8 @@ def _analyze(scene, config, use_pd: bool) -> _StaticData:
       max_corr=float(config.max_correction_vel),
       sweeps=int(config.solver.sweeps), n_grid=int(config.solver.n_grid),
       slots=tuple(slots), limits=limits,
-      ncp=ncp, n_wrows=n_wrows, nrp=nrp, hm=hm)
+      ncp=ncp, n_wrows=n_wrows, nrp=nrp, hm=hm,
+      hm_meshes=tuple(hm_meshes))
 
 
 # ---------------------------------------------------------------------------
@@ -1063,6 +1082,7 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, *refs, sd: _StaticData,
     return t1, _cross(n, t1)
 
   hm_frames = {}    # (body, b_pos, b_rot, he) -> shared downhill probe frame
+  hm_mesh_cache = {}  # mesh idx -> 4 selected (pos, nrm, depth, act)
   for s_i, slot in enumerate(sd.slots):
     ba = slot.body_a
     Ra, pa_ = _body_pose(ba)
@@ -1121,6 +1141,44 @@ def _step_kernel(q_ref, u_ref, tau_ref, pd_ref, *refs, sd: _StaticData,
       rt = hm_root_of(ba)
       pos, nrm, depth, valid = _emit_hm_probe(
           sd.hm, hm_P[rt], *hm_org[rt], pt, 0.0, S, dtype)
+      t1, t2 = _runtime_frame(nrm)
+      cmap = {j: 1.0 for j in sd.anc_dofs[ba]}
+    elif slot.kind == "hm_mesh":
+      # 4 deepest hull-vertex probes, selected in-kernel by a 4-pass
+      # first-match max sweep (mirrors _mesh_hm's masked lax.top_k: equal
+      # depths resolve to the LOWER vertex index — XLA top_k's stable order)
+      mi, k_out = int(slot.local[0]), int(slot.local[1])
+      if mi not in hm_mesh_cache:
+        mb, mverts, vc = sd.hm_meshes[mi]
+        rt = hm_root_of(mb)
+        probes = []
+        for v in mverts:
+          vw = _vadd(pa_, _mv(Ra, v))
+          probes.append(_emit_hm_probe(sd.hm, hm_P[rt], *hm_org[rt], vw,
+                                       0.0, S, dtype))
+        dcur = [_asvec(p[2], S, dtype) for p in probes]
+        sel = []
+        for _pass in range(4):
+          dmax = dcur[0]
+          for i in range(1, vc):
+            dmax = jnp.maximum(dmax, dcur[i])
+          any_prev = jnp.zeros(S, dtype)
+          pk = [jnp.zeros(S, dtype) for _ in range(3)]
+          nk = [jnp.zeros(S, dtype) for _ in range(3)]
+          dk = jnp.zeros(S, dtype)
+          ak = jnp.zeros(S, dtype)
+          for i in range(vc):
+            c = (dcur[i] == dmax).astype(dtype) * (1.0 - any_prev)
+            any_prev = any_prev + c
+            for a3 in range(3):
+              pk[a3] = pk[a3] + c * _asvec(probes[i][0][a3], S, dtype)
+              nk[a3] = nk[a3] + c * _asvec(probes[i][1][a3], S, dtype)
+            dk = dk + c * dcur[i]
+            ak = ak + c * _asvec(probes[i][3], S, dtype)
+            dcur[i] = jnp.where(c > 0.5, jnp.full(S, -3e38, dtype), dcur[i])
+          sel.append((tuple(pk), tuple(nk), dk, ak))
+        hm_mesh_cache[mi] = sel
+      pos, nrm, depth, valid = hm_mesh_cache[mi][k_out]
       t1, t2 = _runtime_frame(nrm)
       cmap = {j: 1.0 for j in sd.anc_dofs[ba]}
     elif slot.kind in ("ss", "sc"):

@@ -142,16 +142,18 @@ class TestEligibility:
     assert len(sd.slots) == 12           # 8 base-box corners + 4 feet
     assert len(sd.limits) == 12
 
-  def test_heightmap_unsupported_geom_falls_back(self):
-    # mesh-vs-heightmap is outside the fused class (top-4-of-32 probe
-    # selection) -> clean fallback; cylinders/cones joined the class in r5
+  def test_unsupported_cross_pair_falls_back(self):
+    # every geom now has heightmap probes in the fused class (r5); what
+    # stays outside are support-function CROSS pairs (here mesh-vs-mesh)
+    # -> clean fallback for the whole scene
     from raisimlib_tpu.utils import terrain
 
     cube = np.array([[sx, sy, sz] for sx in (-0.1, 0.1)
                      for sy in (-0.1, 0.1) for sz in (-0.1, 0.1)])
     world = World(dt=0.002, dtype=F32)
     world.add_heightmap(terrain.flat(0.0))
-    world.add_mesh(cube, 1.0, pos=(0, 0, 0.5))
+    world.add_mesh(cube, 1.0, pos=(0, 0, 0.5), name="m1")
+    world.add_mesh(cube, 1.0, pos=(0.5, 0, 0.5), name="m2")
     scene = world.compile(joint_limits=False)
     with pytest.raises(pallas_step.FusedStepUnsupported):
       pallas_step.make_step_batch_fused(scene, use_pd=False)
@@ -519,6 +521,50 @@ class TestHeightmapCylCone:
     tau = jnp.zeros((B, scene.model.nv), F32)
     sA = s
     sB = s
+    for _ in range(4):
+      sA = pipeline.step_batch(scene, sA, tau, None)
+      sB = fused(sB, tau, None)
+    np.testing.assert_allclose(np.asarray(sB.q), np.asarray(sA.q), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sB.u), np.asarray(sA.u), atol=1e-3)
+
+
+class TestHeightmapMesh:
+  def test_mesh_heightmap_parity(self):
+    """Mesh hull-vertex probes + in-kernel top-4 selection vs the
+    phase-split _mesh_hm path (round 5: completes the fused heightmap geom
+    family). Yawed cube on bumpy terrain — ties between equal-depth verts
+    exercise the stable selection order."""
+    import jax as _jax
+    from raisimlib_tpu.ops import pallas_step as ps
+    from raisimlib_tpu.utils import terrain
+
+    field = terrain.generate(
+        _jax.random.PRNGKey(7),
+        terrain.TerrainProperties(z_scale=0.15, x_size=4.0, y_size=4.0,
+                                  x_samples=17, y_samples=17),
+        dtype=F32)
+    cube = np.array([[sx, sy, sz] for sx in (-0.1, 0.1)
+                     for sy in (-0.1, 0.1) for sz in (-0.1, 0.1)])
+    world = World(dt=0.002, dtype=F32)
+    world.add_heightmap(field)
+    world.add_mesh(cube, 1.0, pos=(0.2, -0.1, 0.35))
+    scene = world.compile(joint_limits=False)
+    sd = ps._analyze(scene, pipeline.StepConfig(), use_pd=False)
+    assert [s.kind for s in sd.slots].count("hm_mesh") == 4
+    assert len(sd.hm_meshes) == 1
+
+    fused = ps.make_step_batch_fused(scene, use_pd=False)
+    B = 4
+    rng = np.random.RandomState(3)
+    s0 = scene.init_state()
+    qs = np.tile(np.asarray(s0.q)[None], (B, 1)).astype(np.float32)
+    qs[:, 3:7] += 0.2 * rng.randn(B, 4).astype(np.float32)
+    qs[:, 3:7] /= np.linalg.norm(qs[:, 3:7], axis=1, keepdims=True)
+    us = 0.4 * rng.randn(B, scene.model.nv).astype(np.float32)
+    s = s0.__class__(q=jnp.asarray(qs), u=jnp.asarray(us),
+                     t=jnp.zeros((B,), F32))
+    tau = jnp.zeros((B, scene.model.nv), F32)
+    sA, sB = s, s
     for _ in range(4):
       sA = pipeline.step_batch(scene, sA, tau, None)
       sB = fused(sB, tau, None)
